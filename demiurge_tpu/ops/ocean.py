@@ -1,0 +1,386 @@
+"""Shallow-water-style ocean currents on the sphere.
+
+Reproduces the reference OceanCurrents filter (src/filter/OceanCurrents.cpp)
+as a pure, terminating, jittable solver.  One outer step
+(OceanCurrents.cpp:151-211) is:
+
+  1. advect    — semi-Lagrangian backtrace along great circles with parallel
+                 transport of the sampled velocity (OceanCurrents.cpp:235-360)
+                 + zonal wind-stress forcing and exponential drag (341-349)
+  2. diffusion — 50 Jacobi sweeps of implicit viscosity with land-obstacle
+                 Neumann handling (625-708)
+  3. divergence— area-weighted velocity divergence with obstacles and
+                 antipodal sign flip across the poles (363-435)
+  4. pressure  — Poisson solve by Jacobi iteration from zero initial guess
+                 (437-509; reference runs 5000 iterations)
+  5. project   — subtract the pressure gradient; coastal free-slip redirect
+                 of boundary-adjacent velocity toward the nearest open
+                 direction of 8 (511-622)
+
+Reference WIP quirks, reproduced only under ``exact_quirks=True``:
+
+  - Coriolis force multiplied by 0.0 (OceanCurrents.cpp:327); the intent mode
+    applies the reference's own formula un-zeroed (BASELINE requires
+    Coriolis).
+  - the diffusion rhs uses the *x component* of the center velocity as a
+    scalar added to both components (``float bC = texture(v,st).r``,
+    OceanCurrents.cpp:687-693); intent mode uses the per-component center
+    velocity.
+  - the wind profile's hemisphere-fix threshold typo ``3.1459*2/3``
+    (OceanCurrents.cpp:344) is kept in both modes (it is a parameter choice,
+    not a numerical error).
+
+The reference never terminates (``while(true)``, OceanCurrents.cpp:212) and
+downsamples mid-run (207); this implementation simply steps a configured
+number of times at full resolution.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.grid import Grid
+from ..core.topology import (
+    grid_st,
+    offset_coords,
+    sample_bilinear,
+    shift,
+)
+
+PI = math.pi
+REF_PI = 3.14159  # the reference's truncated pi literal, used where it does
+
+
+@dataclasses.dataclass(frozen=True)
+class OceanConfig:
+    pressurefactor: float = 100.0       # OceanCurrents.h:22 menu default
+    timestep: float = 24.0              # hours (OceanCurrents.cpp:294)
+    dissipation: float = 1.0            # (OceanCurrents.cpp:296)
+    diffusion_iters: int = 50           # (OceanCurrents.cpp:701)
+    jacobi_iters: int = 5000            # (OceanCurrents.cpp:50)
+    coriolis: float = 1.0               # reference formula scale; 0.0 = quirk
+    exact_quirks: bool = False
+
+
+# ---------------------------------------------------------------------------
+# tangent-frame helpers in stacked-component form
+# ---------------------------------------------------------------------------
+
+
+def _v_to_cartesian(vx, vy, lam, phi):
+    """OceanCurrents.cpp:251-258 (east/north tangent basis)."""
+    ex, ey = -jnp.sin(lam), jnp.cos(lam)
+    nx = -jnp.sin(phi) * jnp.cos(lam)
+    ny = -jnp.sin(phi) * jnp.sin(lam)
+    nz = jnp.cos(phi)
+    return (vx * ex + vy * nx, vx * ey + vy * ny, vy * nz)
+
+
+def _cartesian_to_v(cx, cy, cz, lam, phi):
+    """OceanCurrents.cpp:260-268."""
+    ex, ey = -jnp.sin(lam), jnp.cos(lam)
+    nx = -jnp.sin(phi) * jnp.cos(lam)
+    ny = -jnp.sin(phi) * jnp.sin(lam)
+    nz = jnp.cos(phi)
+    return (cx * ex + cy * ey, cx * nx + cy * ny + cz * nz)
+
+
+def _rotate(theta, ux, uy, uz, px, py, pz):
+    """Axis-angle rotate (px,py,pz) by theta about unit axis u (Shader.h:33-41)."""
+    c = jnp.cos(theta)
+    s = jnp.sin(theta)
+    omc = 1.0 - c
+    rx = (c + ux * ux * omc) * px + (ux * uy * omc - uz * s) * py + (ux * uz * omc + uy * s) * pz
+    ry = (uy * ux * omc + uz * s) * px + (c + uy * uy * omc) * py + (uy * uz * omc - ux * s) * pz
+    rz = (uz * ux * omc - uy * s) * px + (uz * uy * omc + ux * s) * py + (c + uz * uz * omc) * pz
+    return rx, ry, rz
+
+
+# ---------------------------------------------------------------------------
+# the five passes
+# ---------------------------------------------------------------------------
+
+
+def wind_profile(grid: Grid):
+    """Zonal wind forcing profile (OceanCurrents.cpp:341-345). Shape (H,1) x2."""
+    t = grid.row_t()
+    phi = 2 * (t - 0.5) * REF_PI
+    wx = -10 * jnp.cos(phi * 1.5)
+    wy = 10 * jnp.sin(phi * 1.5)
+    wx = jnp.where(jnp.abs(phi * 1.5) > REF_PI, -wx, wx)
+    wy = jnp.where(
+        (jnp.abs(phi) > REF_PI / 3) & (jnp.abs(phi) < 3.1459 * 2 / 3), -wy, wy
+    )
+    wy = jnp.where(phi < 0, -wy, wy)
+    return wx, wy
+
+
+def advect(u, v, terrain, grid: Grid, cfg: OceanConfig):
+    """Semi-Lagrangian advection + wind forcing (OceanCurrents.cpp:235-360)."""
+    lam, phi = grid.lam_phi()
+    lam = jnp.broadcast_to(lam, grid.shape)
+    phi = jnp.broadcast_to(phi, grid.shape)
+
+    speed = jnp.sqrt(u * u + v * v)
+    arclength = 2 * REF_PI / grid.circumference * speed * cfg.timestep
+
+    px, py, pz = jnp.cos(phi) * jnp.cos(lam), jnp.cos(phi) * jnp.sin(lam), jnp.sin(phi)
+    cx, cy, cz = _v_to_cartesian(u, v, lam, phi)
+
+    # rotation axis = normalize(cross(pos, v_cart)); eps-normalized so that
+    # zero velocity yields arclength 0 -> identity (reference NaN-guards to 0)
+    ax = py * cz - pz * cy
+    ay = pz * cx - px * cz
+    az = px * cy - py * cx
+    an = jnp.sqrt(ax * ax + ay * ay + az * az)
+    safe = jnp.maximum(an, 1e-30)
+    ax, ay, az = ax / safe, ay / safe, az / safe
+
+    qx, qy, qz = _rotate(-arclength, ax, ay, az, px, py, pz)
+    lam2 = jnp.arctan2(qy, qx)
+    phi2 = jnp.arcsin(jnp.clip(qz, -1.0, 1.0))
+    s2, t2 = grid.spheric_to_tex(lam2, phi2)
+
+    nu = sample_bilinear(u, s2, t2)
+    nv = sample_bilinear(v, s2, t2)
+
+    # parallel transport back (rotate sampled vector by +arclength)
+    tx, ty, tz = _v_to_cartesian(nu, nv, lam2, phi2)
+    tx, ty, tz = _rotate(arclength, ax, ay, az, tx, ty, tz)
+    nu, nv = _cartesian_to_v(tx, ty, tz, lam, phi)
+
+    bad = jnp.isnan(nu) | jnp.isnan(nv)
+    nu = jnp.where(bad, 0.0, nu)
+    nv = jnp.where(bad, 0.0, nv)
+
+    # Coriolis (OceanCurrents.cpp:325-327); reference multiplies by 0.0
+    cor = 0.0 if cfg.exact_quirks else cfg.coriolis
+    if cor != 0.0:
+        wx_, wy_, wz_ = 0.0, 0.0, 1.0 / 24.0
+        vcx, vcy, vcz = _v_to_cartesian(nu, nv, lam, phi)
+        acx = -2 * (wy_ * vcz - wz_ * vcy)
+        acy = -2 * (wz_ * vcx - wx_ * vcz)
+        acz = -2 * (wx_ * vcy - wy_ * vcx)
+        du, dv = _cartesian_to_v(acx, acy, acz, lam, phi)
+        nu = nu + du * cfg.timestep / 5000 * cor
+        nv = nv + dv * cfg.timestep / 5000 * cor
+
+    nu = cfg.dissipation * nu
+    nv = cfg.dissipation * nv
+
+    # wind stress + drag (OceanCurrents.cpp:341-348)
+    wx, wy = wind_profile(grid)
+    sx = 1.0 + 0.0001 * jnp.abs(wx - nu) ** 2
+    sy = 1.0 + 0.0001 * jnp.abs(wy - nv) ** 2
+    drag = 1.0 - 0.4 ** (1.0 / 24.0)
+    nu = nu + wx * (1 - sx ** (-2.0 / 24.0)) - nu * drag
+    nv = nv + wy * (1 - sy ** (-2.0 / 24.0)) - nv * drag
+
+    # solid cells hold zero velocity (OceanCurrents.cpp:284-288; the early
+    # return also skips wind forcing on land)
+    land = terrain > 0
+    nu = jnp.where(land, 0.0, nu)
+    nv = jnp.where(land, 0.0, nv)
+    return nu, nv
+
+
+def _pole_flip_mask(dy: int, grid: Grid):
+    """Rows whose (0, dy) neighbor crossed a pole -> velocity sign flip
+    (the |d lambda| ~ pi test, OceanCurrents.cpp:389/657)."""
+    H = grid.height
+    mask = jnp.zeros((H, 1), bool)
+    if dy < 0 and grid.wrap_south:
+        mask = mask.at[:-dy].set(True)
+    if dy > 0 and grid.wrap_north:
+        mask = mask.at[H - dy :].set(True)
+    return mask
+
+
+def _neighbor_vec(u, v, dx, dy, grid: Grid):
+    """Velocity of the (dx,dy) neighbor with pole sign flip."""
+    nu = shift(u, dx, dy, grid)
+    nv = shift(v, dx, dy, grid)
+    if dx == 0 and dy != 0:
+        flip = _pole_flip_mask(dy, grid)
+        nu = jnp.where(flip, -nu, nu)
+        nv = jnp.where(flip, -nv, nv)
+    return nu, nv
+
+
+def diffusion(u, v, terrain, grid: Grid, cfg: OceanConfig):
+    """Implicit-viscosity Jacobi sweeps (OceanCurrents.cpp:625-708)."""
+    dxr, dyr = grid.pixelsize_rows()
+    wx = (420.0 / dxr) ** 2          # 1/pow(pixelsize,2)*420^2  (H,1)
+    wy = (420.0 / dyr) ** 2          # scalar
+    beta = 2 * (wx + wy) * (1 + 1 / (2 * (wx + wy)))
+
+    oN = shift(terrain, 0, 1, grid) > 0
+    oS = shift(terrain, 0, -1, grid) > 0
+    oE = shift(terrain, 1, 0, grid) > 0
+    oW = shift(terrain, -1, 0, grid) > 0
+
+    def sweep(carry, _):
+        cu, cv = carry
+        nu_, nv_ = _neighbor_vec(cu, cv, 0, 1, grid)
+        su_, sv_ = _neighbor_vec(cu, cv, 0, -1, grid)
+        eu_, ev_ = _neighbor_vec(cu, cv, 1, 0, grid)
+        wu_, wv_ = _neighbor_vec(cu, cv, -1, 0, grid)
+        nu_ = jnp.where(oN, cu, nu_); nv_ = jnp.where(oN, cv, nv_)
+        su_ = jnp.where(oS, cu, su_); sv_ = jnp.where(oS, cv, sv_)
+        eu_ = jnp.where(oE, cu, eu_); ev_ = jnp.where(oE, cv, ev_)
+        wu_ = jnp.where(oW, cu, wu_); wv_ = jnp.where(oW, cv, wv_)
+        if cfg.exact_quirks:
+            bu = bv = cu  # float bC = v.x broadcast to both components
+        else:
+            bu, bv = cu, cv
+        newu = ((wu_ + eu_) * wx + (su_ + nu_) * wy + bu) / beta
+        newv = ((wv_ + ev_) * wx + (sv_ + nv_) * wy + bv) / beta
+        return (newu, newv), None
+
+    (u, v), _ = jax.lax.scan(sweep, (u, v), None, length=cfg.diffusion_iters)
+    return u, v
+
+
+def divergence(u, v, terrain, grid: Grid, cfg: OceanConfig):
+    """Area-weighted divergence (OceanCurrents.cpp:363-435)."""
+    dxr, dyr = grid.pixelsize_rows()
+    area = dxr * dyr  # (H,1)
+
+    def gv(dx, dy):
+        # get_velocity: neighbor v * (its pixel area) * pressurefactor
+        au = u * area * cfg.pressurefactor
+        av = v * area * cfg.pressurefactor
+        nu, nv = _neighbor_vec(au, av, dx, dy, grid)
+        return nu, nv
+
+    _, vNy = gv(0, 1)
+    _, vSy = gv(0, -1)
+    vEx, _ = gv(1, 0)
+    vWx, _ = gv(-1, 0)
+
+    vNy = jnp.where(shift(terrain, 0, 1, grid) > 0, 0.0, vNy)
+    vSy = jnp.where(shift(terrain, 0, -1, grid) > 0, 0.0, vSy)
+    vEx = jnp.where(shift(terrain, 1, 0, grid) > 0, 0.0, vEx)
+    vWx = jnp.where(shift(terrain, -1, 0, grid) > 0, 0.0, vWx)
+
+    pwx = dxr / 420.0
+    pwy = dyr / 420.0
+    return 0.5 * ((vEx - vWx) / pwx + (vNy - vSy) / pwy)
+
+
+def pressure_solve(divw, terrain, grid: Grid, cfg: OceanConfig,
+                   p0=None):
+    """Jacobi Poisson solve for pressure (OceanCurrents.cpp:437-509).
+
+    Starts from zero (the reference zeroes pressure each step); pass ``p0``
+    to warm-start (intent-mode speedup, identical fixed point).
+    """
+    dxr, dyr = grid.pixelsize_rows()
+    pw2x = (dxr / 420.0) ** 2
+    pw2y = (dyr / 420.0) ** 2
+    beta = 2 * (1 / pw2x + 1 / pw2y)
+
+    oN = shift(terrain, 0, 1, grid) > 0
+    oS = shift(terrain, 0, -1, grid) > 0
+    oE = shift(terrain, 1, 0, grid) > 0
+    oW = shift(terrain, -1, 0, grid) > 0
+    oC = terrain > 0
+
+    p = jnp.zeros_like(divw) if p0 is None else p0
+
+    def sweep(p, _):
+        pN = shift(p, 0, 1, grid)
+        pS = shift(p, 0, -1, grid)
+        pE = shift(p, 1, 0, grid)
+        pW = shift(p, -1, 0, grid)
+        pN = jnp.where(oN, p, pN)
+        pS = jnp.where(oS, p, pS)
+        pE = jnp.where(oE, p, pE)
+        pW = jnp.where(oW, p, pW)
+        pnew = ((pW + pE) / pw2x + (pS + pN) / pw2y - divw) / beta
+        return jnp.where(oC, 0.0, pnew), None
+
+    p, _ = jax.lax.scan(sweep, p, None, length=cfg.jacobi_iters)
+    return p
+
+
+def project(u, v, p, terrain, grid: Grid, cfg: OceanConfig):
+    """Subtract pressure gradient + coastal free-slip redirect
+    (OceanCurrents.cpp:511-622)."""
+    dxr, dyr = grid.pixelsize_rows()
+    pwx = dxr / 420.0
+    pwy = dyr / 420.0
+    area = dxr * dyr
+
+    oN = shift(terrain, 0, 1, grid) > 0
+    oS = shift(terrain, 0, -1, grid) > 0
+    oE = shift(terrain, 1, 0, grid) > 0
+    oW = shift(terrain, -1, 0, grid) > 0
+
+    pN = shift(p, 0, 1, grid)
+    pS = shift(p, 0, -1, grid)
+    pE = shift(p, 1, 0, grid)
+    pW = shift(p, -1, 0, grid)
+    pN = jnp.where(oN, p, pN)
+    pS = jnp.where(oS, p, pS)
+    pE = jnp.where(oE, p, pE)
+    pW = jnp.where(oW, p, pW)
+
+    fu = u - 0.5 * (pE - pW) / pwx / area / cfg.pressurefactor
+    fv = v - 0.5 * (pN - pS) / pwy / area / cfg.pressurefactor
+
+    # coastal free-slip redirect (OceanCurrents.cpp:583-606)
+    offsets = [(1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1), (1, -1)]
+    o_arr = [shift(terrain, dx, dy, grid) > 0 for (dx, dy) in offsets]
+
+    theta = jnp.mod((jnp.arctan2(fv, fu) / PI + 1) / 2 * 8 + 4, 8.0)
+    lower = jnp.mod(jnp.floor(theta), 8).astype(jnp.int32)
+    upper = jnp.mod(jnp.ceil(theta), 8).astype(jnp.int32)
+    o_stack = jnp.stack(o_arr)  # (8, H, W)
+    o_lower = jnp.take_along_axis(o_stack, lower[None], axis=0)[0]
+    o_upper = jnp.take_along_axis(o_stack, upper[None], axis=0)[0]
+    is_border = o_lower | o_upper
+
+    mag = jnp.sqrt(fu * fu + fv * fv)
+    best_u, best_v = fu, fv
+    difference = jnp.full_like(fu, 2 * PI)  # reference compares 1/8-turn units
+    for i, (dx, dy) in enumerate(offsets):
+        thetai = float(i)  # == mod((atan2(dy,dx)/pi+1)/2*8+4, 8) for this order
+        ang = jnp.minimum((2 * PI) - jnp.abs(thetai - theta),
+                          jnp.abs(thetai - theta))
+        open_dir = ~o_arr[i]
+        better = (ang < difference) & open_dir
+        norm = math.sqrt(dx * dx + dy * dy)
+        best_u = jnp.where(better, dx / norm * mag, best_u)
+        best_v = jnp.where(better, dy / norm * mag, best_v)
+        difference = jnp.where(better, ang, difference)
+
+    fu = jnp.where(is_border, best_u, fu)
+    fv = jnp.where(is_border, best_v, fv)
+
+    land = terrain > 0
+    fu = jnp.where(land, 0.0, fu)
+    fv = jnp.where(land, 0.0, fv)
+    return fu, fv
+
+
+@partial(jax.jit, static_argnames=("grid", "cfg"))
+def ocean_step(u, v, terrain, grid: Grid, cfg: OceanConfig = OceanConfig()):
+    """One full outer step (OceanCurrents.cpp:155-211). Returns (u, v, p, div)."""
+    u, v = advect(u, v, terrain, grid, cfg)
+    u, v = diffusion(u, v, terrain, grid, cfg)
+    div = divergence(u, v, terrain, grid, cfg)
+    p = pressure_solve(div, terrain, grid, cfg)
+    u, v = project(u, v, p, terrain, grid, cfg)
+    return u, v, p, div
+
+
+def init_ocean(grid: Grid):
+    """v = 0 (OceanCurrents.cpp:89-102)."""
+    z = jnp.zeros(grid.shape, jnp.float32)
+    return z, z
