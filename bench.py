@@ -1,0 +1,105 @@
+"""Benchmark: grid-points/s per chip on the coupled erosion+ocean+climate step.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "grid-points/s", "vs_baseline": N}
+
+The reference (Kuhlwein/Demiurge) publishes no benchmark numbers
+(BASELINE.md); the operative baseline is the HBM roofline of the same op
+sequence on this chip.  vs_baseline = achieved / roofline, where the
+roofline is the minimum HBM traffic of the step's pass sequence divided by
+the chip's HBM bandwidth (v5e: ~819 GB/s), i.e. 1.0 would mean every pass
+runs exactly at memory speed with perfect fusion.
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def roofline_bytes_per_point(cfg):
+    """Minimum HBM traffic per grid point per coupled step, in bytes.
+
+    Model: every iterative sweep must read+write its state once per
+    iteration from HBM (stencil neighbor reuse is free in VMEM); float32.
+    """
+    B = 4
+    # climate: per substep read T + terrain, write T
+    climate = cfg.climate_substeps * 3 * B
+    # ocean advect: read u,v,terrain; write u,v
+    advect = 5 * B
+    # ocean diffusion: per sweep read u,v(,terrain cached), write u,v
+    diff = cfg.ocean.diffusion_iters * 4 * B
+    # divergence: read u,v,terrain write div
+    div = 4 * B
+    # jacobi: per sweep read p, div, write p (terrain mask cached)
+    jac = cfg.ocean.jacobi_iters * 3 * B
+    # project: read u,v,p,terrain, write u,v
+    proj = 6 * B
+    # flow: blur (~4 passes r+w) + direction (r h,sel w code) + mask +
+    # parent + ~log2(N) scatter rounds each touching A, ptr, alive ~ 3 arrays r+w
+    import math
+
+    nrounds = 21  # log2(2048*1024)
+    flowb = (4 * 2 + 3 + 3 + 2 + nrounds * 6) * B
+    # erosion pass: read h, flow, uplift, write h
+    eros = 4 * B
+    return climate + advect + diff + div + jac + proj + flowb + eros
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+    import jax
+    import jax.numpy as jnp
+
+    from demiurge_tpu import Grid
+    from demiurge_tpu.model import CoupledConfig, coupled_step, init_coupled
+    from demiurge_tpu.ops.noise import NoiseParams, fbm
+    from demiurge_tpu.ops.ocean import OceanConfig
+
+    W, H = 2048, 1024
+    grid = Grid(W, H)
+    cfg = CoupledConfig(
+        climate_substeps=10,
+        ocean=OceanConfig(jacobi_iters=200, diffusion_iters=50),
+    )
+
+    h = fbm(grid, NoiseParams(mode="default", octaves=6, scale=2.0,
+                              min=-2.0, max=3.0, seed=7))
+    state = init_coupled(h, grid)
+
+    step = jax.jit(lambda s: coupled_step(s, grid, cfg))
+
+    @jax.jit
+    def probe(s):
+        # one scalar depending on every prognostic field: forces full
+        # execution through the async device tunnel (block_until_ready does
+        # not synchronize remote execution; a readback does)
+        return (s.height.ravel()[0] + s.u.ravel()[0] + s.v.ravel()[0]
+                + s.temperature.ravel()[0])
+
+    state = step(state)            # compile + warm
+    float(probe(state))
+
+    n_iters = 5
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state = step(state)
+    float(probe(state))
+    dt = (time.perf_counter() - t0) / n_iters
+
+    gps = W * H / dt  # grid-points per second (coupled steps)
+
+    hbm_bw = 819e9  # bytes/s, TPU v5e
+    bpp = roofline_bytes_per_point(cfg)
+    roofline_gps = hbm_bw / bpp
+    print(json.dumps({
+        "metric": "coupled erosion+ocean+climate step, 2048x1024, 1 chip",
+        "value": round(gps, 1),
+        "unit": "grid-points/s",
+        "vs_baseline": round(gps / roofline_gps, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

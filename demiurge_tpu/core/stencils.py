@@ -57,12 +57,25 @@ def texture_laplacian(field, grid: Grid, *, pole_wrap: bool = True):
     phi = grid.row_phi()
     inv_cos = 1.0 / jnp.cos(phi)  # (H,1) pixel stretch for x taps
 
-    def tap(dx_stretched, dy_int):
-        if dx_stretched is None:  # pure integer offset
-            return shift(field, 0, dy_int, grid, pole_wrap=pole_wrap)
-        return sample_offset_nearest(
-            field, dx_stretched, float(dy_int), grid, pole_wrap=pole_wrap
-        )
+    if grid.wrap_x:
+        # fast path: the NEAREST fetch at a per-row x offset is a per-row
+        # integer roll (see core/fastroll.py); pole/y handled by shift().
+        from .fastroll import row_sample_nearest_x
+
+        def tap(dx_stretched, dy_int):
+            row = shift(field, 0, dy_int, grid, pole_wrap=pole_wrap)
+            if dx_stretched is None:
+                return row
+            return row_sample_nearest_x(row, dx_stretched)
+
+    else:
+
+        def tap(dx_stretched, dy_int):
+            if dx_stretched is None:  # pure integer offset
+                return shift(field, 0, dy_int, grid, pole_wrap=pole_wrap)
+            return sample_offset_nearest(
+                field, dx_stretched, float(dy_int), grid, pole_wrap=pole_wrap
+            )
 
     # reference taps: offset(st, -vec2(sx, sy)) with sx in {±1/factor, 0}
     a = tap(-inv_cos, -1)

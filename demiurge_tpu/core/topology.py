@@ -81,10 +81,31 @@ def shift(field, dx: int, dy: int, grid: Grid, *, pole_wrap: bool = True):
 
 
 def _clamped_shift(field, d: int, axis: int):
-    """Shift by d pixels along axis with clamp-to-edge (GL_CLAMP_TO_EDGE)."""
+    """Shift by d pixels along axis with clamp-to-edge (GL_CLAMP_TO_EDGE).
+
+    Implemented with static slices + edge replication (no gather) so XLA
+    fuses it into surrounding elementwise work on TPU.
+    """
     n = field.shape[axis]
-    idx = jnp.clip(jnp.arange(n) + d, 0, n - 1)
-    return jnp.take(field, idx, axis=axis)
+    d = max(-n + 1, min(n - 1, d))
+    if d == 0:
+        return field
+
+    def sl(a, start, stop):
+        idx = [slice(None)] * a.ndim
+        idx[axis] = slice(start, stop)
+        return a[tuple(idx)]
+
+    if d > 0:
+        body = sl(field, d, n)
+        edge = sl(field, n - 1, n)
+        pads = [edge] * d
+        return jnp.concatenate([body] + pads, axis=axis)
+    else:
+        body = sl(field, 0, n + d)
+        edge = sl(field, 0, 1)
+        pads = [edge] * (-d)
+        return jnp.concatenate(pads + [body], axis=axis)
 
 
 def _pole_wrapped_row_shift(field, dy: int, grid: Grid):
@@ -96,24 +117,18 @@ def _pole_wrapped_row_shift(field, dy: int, grid: Grid):
     shift + overwrite of the edge rows with reflected/rotated data.
     """
     H, W = field.shape[-2], field.shape[-1]
-    out = _clamped_shift(field, dy, axis=0)
     shift_cols = _pole_col_shift(grid)
-    if dy < 0 and grid.wrap_south:
-        # rows 0..|dy|-1 read r' = r+dy in [dy, -1] -> reflect to -r'-1
-        k = min(-dy, H)
-        # r in [0, k): r' = r + dy, reflected row = -(r+dy)-1
-        rows = -(jnp.arange(k) + dy) - 1
-        edge = jnp.take(field, rows, axis=0)
-        edge = jnp.roll(edge, -shift_cols, axis=1)
-        out = out.at[:k].set(edge)
-    if dy > 0 and grid.wrap_north:
-        k = min(dy, H)
-        # r in [H-k, H): r' = r + dy >= H, reflected row = 2H-1-r'
-        rows = 2 * H - 1 - (jnp.arange(H - k, H) + dy)
-        edge = jnp.take(field, rows, axis=0)
-        edge = jnp.roll(edge, -shift_cols, axis=1)
-        out = out.at[H - k :].set(edge)
-    return out
+    if dy < 0 and grid.wrap_south and -dy < H:
+        k = -dy
+        # r in [0, k) reflects to row -(r+dy)-1 = k-1-r (flipped head block),
+        # with the antipodal column shift
+        head = jnp.roll(jnp.flip(field[..., :k, :], axis=-2), -shift_cols, axis=-1)
+        return jnp.concatenate([head, field[..., : H - k, :]], axis=-2)
+    if dy > 0 and grid.wrap_north and dy < H:
+        k = dy
+        tail = jnp.roll(jnp.flip(field[..., H - k :, :], axis=-2), -shift_cols, axis=-1)
+        return jnp.concatenate([field[..., k:, :], tail], axis=-2)
+    return _clamped_shift(field, dy, axis=field.ndim - 2)
 
 
 def _pole_col_shift(grid: Grid) -> int:

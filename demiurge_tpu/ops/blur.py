@@ -57,11 +57,37 @@ def sigma_list(radius: float) -> list:
 
 
 def blur13_pass(field, grid: Grid, direction, *, stretch_x: bool = True):
-    """One blur13 pass. ``direction`` = (dx, dy) pixel step (BlurMenu.cpp:41-62)."""
-    s, t = grid_st(grid)
+    """One blur13 pass. ``direction`` = (dx, dy) pixel step (BlurMenu.cpp:41-62).
+
+    Fast paths (x-periodic grids): vertical taps are constant fractional row
+    offsets -> row-slice lerps; horizontal taps are per-row fractional
+    column offsets (1/cos(phi) stretch) -> binary-decomposed per-row rolls
+    (core/fastroll.py).  The fast paths interpolate periodically across the
+    dateline and through the poles where the GL reference clamps the final
+    subpixel at the texture seam — a seam-quality improvement, documented.
+    Regional (non-periodic) grids use the exact GL-clamp gather path.
+    """
     phi = grid.row_phi()
     phifactor = jnp.cos(jnp.abs(phi))  # (H,1)
 
+    if grid.wrap_x:
+        from ..core.fastroll import const_sample_bilinear_y, row_sample_bilinear_x
+
+        out = field * _W0
+        for off_mag, w in zip(_OFFSETS, _WEIGHTS):
+            for sign in (1.0, -1.0):
+                ox = sign * off_mag * direction[0]
+                oy = sign * off_mag * direction[1]
+                tap = field
+                if oy != 0.0:
+                    tap = const_sample_bilinear_y(tap, oy, grid)
+                if direction[0] != 0.0:
+                    dx = ox / phifactor if stretch_x else jnp.full_like(phifactor, ox)
+                    tap = row_sample_bilinear_x(tap, dx)
+                out = out + tap * w
+        return out
+
+    s, t = grid_st(grid)
     out = field * _W0
     for off_mag, w in zip(_OFFSETS, _WEIGHTS):
         ox = off_mag * direction[0]

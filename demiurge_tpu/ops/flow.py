@@ -311,6 +311,111 @@ def accumulate(parent, area_flat, nrounds: int):
     return A
 
 
+def _incoming_fields(code, grid: Grid):
+    """For each of the 8 directions d (offset from a cell to its upstream
+    neighbor), a boolean field 'the neighbor at d flows into me', with the
+    same in-range semantics as the CPU traversal (x wraps iff full globe,
+    y edges drop — FlowFilter.cpp:39-75)."""
+    H, W = grid.shape
+    wrap = abs(grid.lam1 - grid.lam0) > 2 * PI - 1e-4
+    fields = []
+    for (dx, dy) in _SCAN_ORDER:
+        back = DIR_CODE[(-dx, -dy)]
+        ncode = shift(code, dx, dy, grid, pole_wrap=False)
+        ok = ncode == back
+        # drop out-of-range rows (y clips, never pole-wraps on the CPU side)
+        if dy > 0:
+            ok = ok & (jnp.arange(H).reshape(-1, 1) < H - dy)
+        elif dy < 0:
+            ok = ok & (jnp.arange(H).reshape(-1, 1) >= -dy)
+        if not wrap and dx != 0:
+            if dx > 0:
+                ok = ok & (jnp.arange(W).reshape(1, -1) < W - dx)
+            else:
+                ok = ok & (jnp.arange(W).reshape(1, -1) >= -dx)
+        fields.append(((dx, dy), ok))
+    return fields
+
+
+@partial(jax.jit, static_argnames=("grid", "check_every", "max_iters",
+                                   "want_root"))
+def flow_solve_stencil(code, area2d, mouth, grid: Grid,
+                       conn_from=None, conn_to=None,
+                       check_every: int = 64, max_iters: int = 1 << 30,
+                       want_root: bool = False):
+    """Exact flow accumulation + mouth-reachability (+ basin root) by
+    fused stencil relaxation.
+
+    Iterates to fixpoint:
+      A       <- area + sum_d incoming_d * shift(A, d)        (upstream sum)
+      visited <- mouth | downstream-neighbor visited           (reachability)
+      root    <- self where sink else downstream root          (basin id)
+    Each sweep is a fused 8-neighbor stencil (no gather/scatter on the hot
+    path), so it runs at HBM speed; convergence takes longest-flow-path
+    iterations, checked every ``check_every`` sweeps.  Optional lake
+    connection edges (lake sink -> attach pixel, from the host solver) are
+    applied as a small per-sweep scatter, which extends both the
+    accumulation and the reachability through merged lakes.
+
+    Same fixpoint as pointer-doubling :func:`accumulate`; float32 summation
+    order differs from the reference's recursive DFS (allclose).
+    """
+    H, W = grid.shape
+    inc = _incoming_fields(code, grid)
+    has_conns = conn_from is not None and conn_from.shape[0] > 0
+
+    # downstream-selection masks: which direction each cell's code points to
+    out_masks = [(CODE_DIR[c], code == c) for c in range(1, 10) if c != 5]
+    idx = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
+    sink = code == 5
+
+    def sweep(carry):
+        A, vis, root = carry
+        newA = area2d
+        for (dx, dy), ok in inc:
+            newA = newA + jnp.where(
+                ok, shift(A, dx, dy, grid, pole_wrap=False), 0.0)
+        # visited/root flow *downstream->upstream*: take the value of the
+        # cell my code points to
+        newvis = mouth
+        newroot = jnp.where(sink, idx, -1) if want_root else root
+        for (dx, dy), m in out_masks:
+            down_vis = shift(vis, dx, dy, grid, pole_wrap=False)
+            newvis = newvis | (m & down_vis)
+            if want_root:
+                down_root = shift(root, dx, dy, grid, pole_wrap=False)
+                newroot = jnp.where(m, down_root, newroot)
+        if has_conns:
+            fA = newA.reshape(-1)
+            fA = fA.at[conn_to].add(A.reshape(-1)[conn_from])
+            newA = fA.reshape(H, W)
+            fv = newvis.reshape(-1)
+            # conn_from indices are unique (each lake placed once), so a
+            # scatter-set of the OR is safe for bool dtype
+            fv = fv.at[conn_from].set(fv[conn_from] | vis.reshape(-1)[conn_to])
+            newvis = fv.reshape(H, W)
+        return newA, newvis, newroot
+
+    def body(carry):
+        (A, vis, root), _, it = carry
+        prev = A
+        prev_v = vis
+        for _ in range(check_every):
+            A, vis, root = sweep((A, vis, root))
+        done = jnp.all(A == prev) & jnp.all(vis == prev_v)
+        return (A, vis, root), done, it + check_every
+
+    def cond(carry):
+        _, done, it = carry
+        return (~done) & (it < max_iters)
+
+    root0 = jnp.where(sink, idx, -1) if want_root else jnp.zeros((1, 1), jnp.int32)
+    state0 = (area2d, mouth, root0)
+    (A, vis, root), _, _ = jax.lax.while_loop(
+        cond, body, (state0, jnp.asarray(False), 0))
+    return A, vis, root
+
+
 @partial(jax.jit, static_argnames=("nrounds",))
 def resolve_roots(parent, nrounds: int):
     """Root (terminal downstream) index of every cell by pointer doubling."""
@@ -496,6 +601,26 @@ def solve_lakes_numpy(mask, mouth, height, parent, grid: Grid) -> LakeSolution:
     return LakeSolution(conn_from, conn_to, conn_h, lake_wh)
 
 
+@partial(jax.jit, static_argnames=("grid", "exponent", "preblur"))
+def flow_filter_device(height, sel, grid: Grid, exponent: float = 0.5,
+                       preblur: float = 0.5):
+    """Fully-jittable flow accumulation without the host lake-merge stage.
+
+    Identical to :func:`flow_filter` with ``lakes=False`` except that
+    endorheic basins (interior sinks) simply do not drain — their cells keep
+    -1 exactly like the reference's unvisited cells.  This is the path used
+    inside fused/distributed step functions where a host round-trip is not
+    acceptable; the full filter with lake solving remains available for the
+    editing API.
+    """
+    hb = blur(height, grid, preblur)
+    code = flow_directions(hb, sel, grid)
+    _, mouth, interesting = incoming_mask(code, grid)
+    area = cell_area_lower_edge(grid)
+    acc, vis, _ = flow_solve_stencil(code, area, mouth, grid)
+    return jnp.where(vis, jnp.power(acc, exponent), -1.0)
+
+
 # ---------------------------------------------------------------------------
 # full filter
 # ---------------------------------------------------------------------------
@@ -513,8 +638,6 @@ def flow_filter(height, sel, grid: Grid, cfg: FlowConfig = FlowConfig(),
     if lake_solver is None:
         lake_solver = solve_lakes_numpy
     H, W = grid.shape
-    N = H * W
-    nrounds = _doubling_rounds(N)
 
     hb = blur(height, grid, cfg.preblur)
     code = flow_directions(hb, sel, grid)
@@ -529,30 +652,22 @@ def flow_filter(height, sel, grid: Grid, cfg: FlowConfig = FlowConfig(),
 
     sol = lake_solver(mask_np, mouth_np, height_np, parent_np, grid)
 
-    # augment parents with lake connections: lake sink -> attach pixel
-    aug_parent = parent
-    if len(sol.conn_from):
-        aug_parent = aug_parent.at[jnp.asarray(sol.conn_from)].set(
-            jnp.asarray(sol.conn_to, parent.dtype)
-        )
+    conn_from = jnp.asarray(sol.conn_from, jnp.int32)
+    conn_to = jnp.asarray(sol.conn_to, jnp.int32)
 
-    area = cell_area_lower_edge(grid, cfg.area_scale).reshape(-1)
-    # only interesting cells contribute area... (reference: every visited
-    # cell adds its own area; visited cells are exactly interesting cells
-    # reachable from mouths; unreachable contributions are dropped at output)
-    acc = accumulate(aug_parent, area, nrounds)
+    area = cell_area_lower_edge(grid, cfg.area_scale)
+    acc, vis, root = flow_solve_stencil(
+        code, area, mouth, grid,
+        conn_from=conn_from, conn_to=conn_to, want_root=cfg.lakes)
 
-    aug_roots = resolve_roots(aug_parent, nrounds)
-    mouth_flat = jnp.asarray(mouth_np)
-    visited = mouth_flat[aug_roots] & interesting.reshape(-1)
-
-    flow = jnp.where(visited, jnp.power(acc, cfg.exponent), -1.0)
+    flow = jnp.where(vis, jnp.power(acc, cfg.exponent), -1.0)
 
     if cfg.lakes:
-        roots = resolve_roots(parent, nrounds)  # original basin sink
         wh = jnp.asarray(np.nan_to_num(sol.lake_wh, nan=-np.inf))
-        cell_wh = wh[roots]
-        flooded = visited & (jnp.asarray(height_np) <= cell_wh)
+        cell_wh = jnp.where(root.reshape(-1) >= 0,
+                            wh[jnp.maximum(root.reshape(-1), 0)],
+                            -np.inf).reshape(H, W)
+        flooded = vis & (height <= cell_wh)
         flow = jnp.where(flooded, 0.0, flow)
 
-    return flow.reshape(grid.shape)
+    return flow

@@ -44,12 +44,29 @@ def radius_list(radius: float) -> list:
 
 
 def _circle_pass(field, grid: Grid, radius: float, op: str):
-    s, t = grid_st(grid)
     phi = grid.row_phi()
     factor = 1.0 / jnp.cos(jnp.abs(phi))  # (H,1)
 
     acc = field
     reduce = jnp.minimum if op == "min" else jnp.maximum
+
+    if grid.wrap_x:
+        # fast path: NEAREST at (per-row x stretch, constant y) = row shift
+        # + per-row roll (core/fastroll.py)
+        from ..core.topology import shift
+        from ..core.fastroll import row_sample_nearest_x
+
+        for i in range(_N_SAMPLES):
+            ang = 2 * PI * i / _N_SAMPLES
+            dy = math.sin(ang) * radius
+            ky = math.floor(0.5 + dy)
+            dx = math.cos(ang) * radius * factor
+            tap = shift(field, 0, ky, grid)
+            tap = row_sample_nearest_x(tap, dx)
+            acc = reduce(acc, tap)
+        return acc
+
+    s, t = grid_st(grid)
     for i in range(_N_SAMPLES):
         ang = 2 * PI * i / _N_SAMPLES
         dx = math.cos(ang) * radius * factor
