@@ -2,6 +2,7 @@ from . import (
     adjust,
     blend,
     blur,
+    brush,
     erosion,
     flow,
     morphological,
