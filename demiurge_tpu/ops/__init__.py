@@ -3,11 +3,13 @@ from . import (
     blend,
     blur,
     brush,
+    deterrace,
     erosion,
     flow,
     morphological,
     noise,
     ocean,
+    tectonics,
     temperature,
     thermal,
 )

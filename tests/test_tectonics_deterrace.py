@@ -1,0 +1,100 @@
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from demiurge_tpu.core.grid import Grid
+from demiurge_tpu.ops import deterrace, tectonics
+from demiurge_tpu.ops.noise import NoiseParams, fbm
+
+
+def terrain(g, seed=7):
+    return fbm(g, NoiseParams(octaves=4, scale=2.0, min=-2.0, max=3.0,
+                              seed=seed))
+
+
+def test_tectonics_init_plates():
+    g = Grid(32, 16)
+    h = terrain(g)
+    plates = tectonics.init_plates(h, g)
+    assert len(plates) == 2
+    f0 = np.asarray(plates[0].field)
+    # east half has crust (age 1.0), west half empty (age -1)
+    assert (f0[:, 20:, 1] == 1.0).all()
+    assert (f0[:, :12, 1] == -1.0).all()
+    f1 = np.asarray(plates[1].field)
+    assert (f1[:, :12, 1] == 0.5).all()
+
+
+def test_tectonics_step_evolves():
+    g = Grid(32, 16)
+    h = terrain(g)
+    plates = tectonics.init_plates(h, g)
+    ages0 = np.asarray(plates[0].field[..., 1]).copy()
+    plates, terr = tectonics.tectonics_step(plates, g)
+    ages1 = np.asarray(plates[0].field[..., 1])
+    # existing crust aged by 0.01
+    live = (ages0 >= 0) & (ages1 >= 0) & (ages1 < 2)
+    assert live.any()
+    np.testing.assert_allclose(ages1[live & (np.abs(ages1 - ages0 - 0.01) < 1e-5)]
+                               - ages0[live & (np.abs(ages1 - ages0 - 0.01) < 1e-5)],
+                               0.01, atol=1e-5)
+    assert np.isfinite(np.asarray(terr)).all()
+
+
+def test_tectonics_index_mode_reference_output():
+    """Exact reference behavior: terrain = plate index map."""
+    g = Grid(32, 16)
+    h = terrain(g)
+    _, terr = tectonics.run_tectonics(
+        h, g, tectonics.TectonicsConfig(steps=2, render_mode="index"))
+    vals = set(np.unique(np.asarray(terr)).tolist())
+    assert vals <= {0.0, 1.0, 2.0}
+
+
+def test_tectonics_divergence_creates_ridge_crust():
+    """Plates pulling apart must create new (negative-height, type-ridge)
+    crust somewhere along the divergent boundary."""
+    g = Grid(64, 32)
+    h = jnp.ones((32, 64))
+    plates = tectonics.init_plates(h, g)
+    # speed the plates up so the divergent gap resolves at this grid size
+    import numpy as _np
+    plates[0].angular_velocity = 0.05 * _np.array([-1.0, 0, 0], _np.float32)
+    plates[1].angular_velocity = -0.05 * _np.array([-1.0, 0, 0], _np.float32)
+    new_crust = 0
+    for _ in range(4):
+        plates, _ = tectonics.tectonics_step(plates, g)
+    # new ridge crust is written as (height=-index, age=1) (Tectonics.cpp:249);
+    # the terrain here is all-land (h=1), so height==-index pixels can only
+    # come from ridge creation
+    for index, p in enumerate(plates, start=1):
+        f = np.asarray(p.field)
+        new_crust += int(((f[..., 0] == -float(index)) & (f[..., 1] >= 1.0)).sum())
+    assert new_crust > 0
+
+
+def test_deterrace_removes_steps():
+    g = Grid(32, 16)
+    h = terrain(g)
+    hq = jnp.round(h)  # strong terracing
+    out = deterrace.deterrace(hq, g)
+    out_n = np.asarray(out)
+    hq_n = np.asarray(hq)
+    assert np.isfinite(out_n).all()
+    # sea level preserved: ocean stays <= 0, land stays >= 0
+    assert (out_n[hq_n < 0] <= 0).all()
+    assert (out_n[hq_n >= 0] >= 0).all()
+    # terracing reduced: fewer equal-neighbor pairs
+    def dup(x):
+        return float((np.abs(np.diff(x, axis=1)) < 1e-9).mean())
+    assert dup(out_n) < dup(hq_n) * 0.5
+
+
+def test_directional_pid_finds_steps():
+    g = Grid(32, 16)
+    h = jnp.where(jnp.arange(32)[None, :] < 16, 0.0, 1.0) * jnp.ones((16, 1))
+    pid = np.asarray(deterrace.directional_pid(h, g, (1, 0), (1, -1)))
+    idx = np.arange(16 * 32).reshape(16, 32)
+    # pixels in the flat west half point east toward the step
+    assert (pid[:, 10:15] != idx[:, 10:15]).any()
