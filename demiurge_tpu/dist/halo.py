@@ -1,0 +1,159 @@
+"""Explicit halo exchange over the ('y','x') mesh with shard_map.
+
+The GSPMD path (dist.mesh.sharded_jit) lets XLA insert a collective permute
+per stencil shift — one exchange per sweep.  For the deep iterative solvers
+(5000-iteration pressure Jacobi, 50-sweep viscosity) this module amortizes
+communication: exchange a K-wide halo once, run K sweeps locally on the
+padded block (validity shrinks one ring per sweep), repeat.  Communication
+volume drops K-fold and the interior compute overlaps with the next
+exchange in XLA's schedule.
+
+Topology (reproducing core.topology.shift semantics exactly):
+- E/W: periodic ring over the dateline -> `ppermute` along 'x'
+- N/S: band exchange along 'y'
+- polar caps: the rows "beyond" a pole are the same band's rows, flipped,
+  at antipodal longitude — with an even number of x shards that is exactly
+  the x-shard nx/2 away, so the cap is one more `ppermute` along 'x'
+  (selected only on the pole bands).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..core.grid import Grid
+
+
+def _perm_ring(n, shiftv):
+    return [(i, (i + shiftv) % n) for i in range(n)]
+
+
+def exchange_halo(block, k: int, grid: Grid, mesh: Mesh):
+    """Pad a local (h, w) block with k-wide halos from mesh neighbors.
+
+    Must be called inside shard_map over mesh axes ('y','x').  Returns
+    (h+2k, w+2k) padded block whose interior stencils (up to k rings deep)
+    match the single-device wrap topology exactly.
+    """
+    ny = mesh.shape["y"]
+    nx = mesh.shape["x"]
+    assert grid.wrap_x, "halo exchange currently requires x-periodic grids"
+    assert nx % 2 == 0 or ny == 1 or not (grid.wrap_south or grid.wrap_north) \
+        or nx == 1, "polar cap needs an even number of x shards"
+
+    yi = jax.lax.axis_index("y")
+
+    # --- E/W ring (dateline periodic)
+    if nx > 1:
+        west = jax.lax.ppermute(block[:, -k:], "x", _perm_ring(nx, 1))
+        east = jax.lax.ppermute(block[:, :k], "x", _perm_ring(nx, -1))
+    else:
+        west = block[:, -k:]
+        east = block[:, :k]
+    block = jnp.concatenate([west, block, east], axis=1)
+
+    # --- N/S bands
+    if ny > 1:
+        south = jax.lax.ppermute(block[-k:, :], "y",
+                                 [(i, i + 1) for i in range(ny - 1)])
+        north = jax.lax.ppermute(block[:k, :], "y",
+                                 [(i + 1, i) for i in range(ny - 1)])
+    else:
+        south = jnp.zeros_like(block[-k:, :])
+        north = jnp.zeros_like(block[:k, :])
+
+    # --- polar caps: flipped head/tail rows from the antipodal x shard
+    if grid.wrap_south or grid.wrap_north:
+        head = jnp.flip(block[:k, :], axis=0)
+        tail = jnp.flip(block[-k:, :], axis=0)
+        if nx > 1:
+            head = jax.lax.ppermute(head, "x", _perm_ring(nx, nx // 2))
+            tail = jax.lax.ppermute(tail, "x", _perm_ring(nx, nx // 2))
+        else:
+            W = block.shape[1]
+            head = jnp.roll(head, -W // 2, axis=1)
+            tail = jnp.roll(tail, -W // 2, axis=1)
+        if grid.wrap_south:
+            south = jnp.where(yi == 0, head, south)
+        if grid.wrap_north:
+            north = jnp.where(yi == ny - 1, tail, north)
+
+    return jnp.concatenate([south, block, north], axis=0)
+
+
+def _sweep_pressure(p, divw, oN, oS, oE, oW, oC, pw2x, pw2y, beta):
+    """One pressure-Jacobi sweep on a padded block (OceanCurrents.cpp:450-481
+    semantics; neighbor fetches are plain shifts on the padded arrays)."""
+    pN = jnp.roll(p, -1, 0)
+    pS = jnp.roll(p, 1, 0)
+    pE = jnp.roll(p, -1, 1)
+    pW = jnp.roll(p, 1, 1)
+    pN = jnp.where(oN, p, pN)
+    pS = jnp.where(oS, p, pS)
+    pE = jnp.where(oE, p, pE)
+    pW = jnp.where(oW, p, pW)
+    pnew = ((pW + pE) / pw2x + (pS + pN) / pw2y - divw) / beta
+    return jnp.where(oC, 0.0, pnew)
+
+
+@partial(jax.jit, static_argnames=("grid", "mesh", "iters", "k"))
+def pressure_solve_sharded(divw, terrain, grid: Grid, mesh: Mesh,
+                           iters: int = 5000, k: int = 8):
+    """Distributed pressure Poisson solve: K sweeps per K-wide halo exchange.
+
+    Produces the same fixpoint as ops.ocean.pressure_solve; transient
+    iterates match exactly in the block interiors (halo-deep rings recompute
+    identical values because the padded stencil sees the true neighbors).
+    """
+    from ..core.topology import shift
+
+    H, W = grid.shape
+    ny, nx = mesh.shape["y"], mesh.shape["x"]
+    bh, bw = H // ny, W // nx
+
+    dxr, dyr = grid.pixelsize_rows()
+    pw2x_g = jnp.broadcast_to((dxr / 420.0) ** 2, grid.shape)
+    pw2y_g = jnp.broadcast_to((dyr / 420.0) ** 2 * jnp.ones_like(dxr),
+                              grid.shape)
+
+    oN_g = shift(terrain, 0, 1, grid) > 0
+    oS_g = shift(terrain, 0, -1, grid) > 0
+    oE_g = shift(terrain, 1, 0, grid) > 0
+    oW_g = shift(terrain, -1, 0, grid) > 0
+    oC_g = terrain > 0
+
+    spec = P("y", "x")
+
+    def body(divw_b, oN_b, oS_b, oE_b, oW_b, oC_b, pw2x_b, pw2y_b):
+        p = jnp.zeros_like(divw_b)
+        n_rounds = (iters + k - 1) // k
+
+        # pad the static fields once per round too (cheap, fused)
+        def round_fn(p, _):
+            pp = exchange_halo(p, k, grid, mesh)
+            dd = exchange_halo(divw_b, k, grid, mesh)
+            nN = exchange_halo(oN_b, k, grid, mesh)
+            nS = exchange_halo(oS_b, k, grid, mesh)
+            nE = exchange_halo(oE_b, k, grid, mesh)
+            nW = exchange_halo(oW_b, k, grid, mesh)
+            nC = exchange_halo(oC_b, k, grid, mesh)
+            x2 = exchange_halo(pw2x_b, k, grid, mesh)
+            y2 = exchange_halo(pw2y_b, k, grid, mesh)
+            beta = 2 * (1 / x2 + 1 / y2)
+            for _ in range(k):
+                pp = _sweep_pressure(pp, dd, nN, nS, nE, nW, nC, x2, y2, beta)
+            return pp[k:-k, k:-k], None
+
+        p, _ = jax.lax.scan(round_fn, p, None, length=n_rounds)
+        return p
+
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(spec,) * 8, out_specs=spec)
+    return fn(divw, oN_g, oS_g, oE_g, oW_g, oC_g, pw2x_g, pw2y_g)

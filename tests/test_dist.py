@@ -1,0 +1,111 @@
+"""Distribution tests on the 8-virtual-device CPU mesh (SURVEY §4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from demiurge_tpu.core.grid import Grid
+from demiurge_tpu.dist import field_sharding, make_mesh
+from demiurge_tpu.dist.halo import exchange_halo, pressure_solve_sharded
+from demiurge_tpu.model import CoupledConfig, CoupledState, coupled_step, init_coupled
+from demiurge_tpu.ops import ocean
+from demiurge_tpu.ops.noise import NoiseParams, fbm
+
+
+requires_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 devices")
+
+
+def terrain(g, seed=7):
+    return fbm(g, NoiseParams(octaves=4, scale=2.0, min=-2.0, max=3.0,
+                              seed=seed))
+
+
+@requires_8
+def test_halo_exchange_matches_global_shift():
+    """A padded block's rings must equal the wrap-topology neighbors."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from demiurge_tpu.core.topology import shift
+
+    g = Grid(64, 32)
+    mesh = make_mesh(8, shape=(2, 4))
+    f = terrain(g)
+    k = 2
+
+    def body(b):
+        return exchange_halo(b, k, g, mesh)
+
+    padded = shard_map(body, mesh=mesh, in_specs=P("y", "x"),
+                       out_specs=P("y", "x"))(f)
+    # padded has shape (H + 2k*ny, W + 2k*nx); check one block explicitly
+    pn = np.asarray(padded)
+    bh, bw = 16, 16
+    blk = pn[:bh + 2 * k, :bw + 2 * k]  # block (0,0) with halos
+    fn = np.asarray(f)
+    # interior
+    np.testing.assert_array_equal(blk[k:-k, k:-k], fn[:bh, :bw])
+    # west halo: dateline wrap (columns W-k..W)
+    np.testing.assert_array_equal(blk[k:-k, :k], fn[:bh, -k:])
+    # north halo: rows bh..bh+k
+    np.testing.assert_array_equal(blk[-k:, k:-k], fn[bh:bh + k, :bw])
+    # south halo: pole reflection = rows k-1..0 flipped, antipodal columns
+    want = np.asarray(shift(f, 0, -1, g))[0, :bw]  # row 0 looking south
+    np.testing.assert_array_equal(blk[k - 1, k:-k], want)
+
+
+@requires_8
+def test_sharded_pressure_solve_matches_single_device():
+    g = Grid(64, 32)
+    h = terrain(g)
+    cfg = ocean.OceanConfig(jacobi_iters=64, diffusion_iters=5)
+    u, v = ocean.init_ocean(g)
+    for _ in range(2):
+        u, v = ocean.advect(u, v, h, g, cfg)
+    d = ocean.divergence(u, v, h, g, cfg)
+
+    want = ocean.pressure_solve(d, h, g, cfg)
+
+    mesh = make_mesh(8, shape=(2, 4))
+    got = pressure_solve_sharded(d, h, g, mesh, iters=64, k=8)
+    # different fusion order -> f32 reassociation noise; compare relative to
+    # the field magnitude (pressures are ~1e5 from the area*pf scaling)
+    scale = float(np.abs(np.asarray(want)).max()) + 1e-9
+    np.testing.assert_allclose(np.asarray(got) / scale,
+                               np.asarray(want) / scale,
+                               atol=2e-5)
+
+
+@requires_8
+def test_coupled_step_gspmd_matches_single_device():
+    """The full coupled model step under 2D sharding must equal the
+    single-device result (the framework's core distributed guarantee)."""
+    g = Grid(64, 32)
+    cfg = CoupledConfig(
+        climate_substeps=2,
+        ocean=ocean.OceanConfig(jacobi_iters=16, diffusion_iters=4),
+    )
+    state = init_coupled(terrain(g), g)
+
+    ref = coupled_step(state, g, cfg)
+
+    mesh = make_mesh(8, shape=(2, 4))
+    s = field_sharding(mesh)
+    sharded = CoupledState(
+        height=jax.device_put(state.height, s),
+        uplift=jax.device_put(state.uplift, s),
+        sel=jax.device_put(state.sel, s),
+        u=jax.device_put(state.u, s),
+        v=jax.device_put(state.v, s),
+        temperature=jax.device_put(state.temperature, s),
+        t_index=state.t_index,
+    )
+    out = coupled_step(sharded, g, cfg)
+    assert len(out.height.sharding.device_set) == 8
+
+    for name in ["height", "u", "v", "temperature"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, name)), np.asarray(getattr(ref, name)),
+            rtol=2e-5, atol=1e-5, err_msg=name)
