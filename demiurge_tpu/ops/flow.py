@@ -621,6 +621,18 @@ def flow_filter_device(height, sel, grid: Grid, exponent: float = 0.5,
     return jnp.where(vis, jnp.power(acc, exponent), -1.0)
 
 
+def default_lake_solver():
+    """Native C++ solver when buildable, NumPy reference otherwise."""
+    try:
+        from ..native import native_available, solve_lakes_native
+
+        if native_available():
+            return solve_lakes_native
+    except Exception:
+        pass
+    return solve_lakes_numpy
+
+
 # ---------------------------------------------------------------------------
 # full filter
 # ---------------------------------------------------------------------------
@@ -636,7 +648,7 @@ def flow_filter(height, sel, grid: Grid, cfg: FlowConfig = FlowConfig(),
     (upstream area sum)^exponent.
     """
     if lake_solver is None:
-        lake_solver = solve_lakes_numpy
+        lake_solver = default_lake_solver()
     H, W = grid.shape
 
     hb = blur(height, grid, cfg.preblur)
