@@ -65,6 +65,15 @@ class OceanConfig:
     jacobi_iters: int = 5000            # (OceanCurrents.cpp:50)
     coriolis: float = 1.0               # reference formula scale; 0.0 = quirk
     exact_quirks: bool = False
+    # semi-Lagrangian sampling: 'fast' replaces the TPU-hostile gather with
+    # bounded-displacement tap selection (exact bilinear for backtraces up
+    # to fast_radius pixels — generous for the wind-driven speeds this
+    # solver produces — longer backtraces clamp; polar rows, whose
+    # longitude displacement diverges as 1/cos(phi), use the exact gather).
+    # 'exact' is the pure-gather GL-parity path.
+    advect_method: str = "fast"
+    fast_radius: int = 4
+    polar_rows: int = 64
 
 
 # ---------------------------------------------------------------------------
@@ -120,6 +129,45 @@ def wind_profile(grid: Grid):
     return wx, wy
 
 
+def _advect_sample_fast(u, v, s2, t2, grid: Grid, R: int, polar: int):
+    """Bilinear fetch of (u, v) at backtraced coords without a gather.
+
+    Writes the bilinear interpolation as a sum over (2R+1)^2 integer taps
+    with per-pixel hat weights: w = hat(dx-kx)*hat(dy-ky); only the 4 taps
+    bracketing the displacement are nonzero, so the result is EXACTLY
+    bilinear for displacements within R pixels (clamped beyond — a CFL-style
+    cap).  Every tap is a global roll (dateline-periodic), which XLA fuses
+    at HBM speed — ~10x faster than the hardware gather at 2048x1024.
+
+    The top/bottom `polar` rows (1/cos(phi) blows up the longitude
+    displacement) are overridden with the exact gather on just those rows.
+    """
+    H, W = u.shape
+    c = jnp.arange(W, dtype=jnp.float32).reshape(1, -1)
+    r = jnp.arange(H, dtype=jnp.float32).reshape(-1, 1)
+    dx = jnp.clip(s2 * W - 0.5 - c, -R, R)
+    dy = jnp.clip(t2 * H - 0.5 - r, -R, R)
+
+    out_u = jnp.zeros_like(u)
+    out_v = jnp.zeros_like(v)
+    for ky in range(-R, R + 1):
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(dy - ky))
+        uy = jnp.roll(u, -ky, 0)
+        vy = jnp.roll(v, -ky, 0)
+        for kx in range(-R, R + 1):
+            w = wy * jnp.maximum(0.0, 1.0 - jnp.abs(dx - kx))
+            out_u = out_u + w * jnp.roll(uy, -kx, 1)
+            out_v = out_v + w * jnp.roll(vy, -kx, 1)
+
+    if polar > 0:
+        for rows in (slice(0, polar), slice(H - polar, H)):
+            eu = sample_bilinear(u, s2[rows], t2[rows])
+            ev = sample_bilinear(v, s2[rows], t2[rows])
+            out_u = out_u.at[rows].set(eu)
+            out_v = out_v.at[rows].set(ev)
+    return out_u, out_v
+
+
 def advect(u, v, terrain, grid: Grid, cfg: OceanConfig):
     """Semi-Lagrangian advection + wind forcing (OceanCurrents.cpp:235-360)."""
     lam, phi = grid.lam_phi()
@@ -146,8 +194,15 @@ def advect(u, v, terrain, grid: Grid, cfg: OceanConfig):
     phi2 = jnp.arcsin(jnp.clip(qz, -1.0, 1.0))
     s2, t2 = grid.spheric_to_tex(lam2, phi2)
 
-    nu = sample_bilinear(u, s2, t2)
-    nv = sample_bilinear(v, s2, t2)
+    use_fast = (cfg.advect_method == "fast" and grid.wrap_x
+                and grid.height > 2 * max(cfg.polar_rows, cfg.fast_radius))
+    if use_fast:
+        polar = max(cfg.polar_rows, cfg.fast_radius)
+        nu, nv = _advect_sample_fast(u, v, s2, t2, grid,
+                                     cfg.fast_radius, polar)
+    else:
+        nu = sample_bilinear(u, s2, t2)
+        nv = sample_bilinear(v, s2, t2)
 
     # parallel transport back (rotate sampled vector by +arclength)
     tx, ty, tz = _v_to_cartesian(nu, nv, lam2, phi2)

@@ -188,6 +188,8 @@ PROJECTIONS = {
     "mercator": Projection("mercator", _mercator, (PI, PI), (1.0, 0.5)),
     "orthographic": Projection("orthographic", _orthographic,
                                (1.2, 1.2), (1.0, 1.0)),
+    # aspect-true flat view of the raw texture (img.cpp:14-148)
+    "img": Projection("img", _equirectangular, (PI, PI / 2), (1.0, 0.5)),
 }
 
 
@@ -214,6 +216,12 @@ class CanvasParams:
     offset: Tuple[float, float] = (0.0, 0.0)   # xyoffset
     window_aspect: float = 1.0
     rotation: Tuple[float, float, float] = (0.0, 0.0, 0.0)  # theta, phi, rho
+    #: interrupted projections (Canvas.cpp:220-260): per-hemisphere lobe
+    #: boundaries + central meridians in degrees:
+    #: (north_bounds, north_centers, south_bounds, south_centers), where
+    #: bounds has one more entry than centers.  None = uninterrupted.
+    interruptions: Optional[Tuple[Tuple[float, ...], Tuple[float, ...],
+                                  Tuple[float, ...], Tuple[float, ...]]] = None
 
 
 def screen_to_tex(params: CanvasParams, grid: Grid, out_w: int, out_h: int):
@@ -233,7 +241,36 @@ def screen_to_tex(params: CanvasParams, grid: Grid, out_w: int, out_h: int):
     x = x * proj.scale[0]
     y = y * proj.scale[1]
 
+    # interrupted lobes (Canvas.cpp:220-260): remap x into the containing
+    # lobe before the inverse, remap lambda back after.  The reference's
+    # 'offset' uniform only ever takes value 0 (its =1 assignment is under
+    # an unreachable condition, Canvas.cpp:231/239 — reproduced).
+    start_i = jnp.zeros_like(x)
+    stop_i = jnp.ones_like(x)
+    interrupted = params.interruptions is not None and proj.interruptible
+    if interrupted:
+        sx_scale = proj.scale[0]
+        xs = x / sx_scale
+        nb, nc, sb, sc = params.interruptions
+        start_i = jnp.full_like(x, -1.0)
+        stop_i = jnp.full_like(x, 1.0)
+        for bounds, centers, is_north in ((nb, nc, True), (sb, sc, False)):
+            hemi = (y < 0) if is_north else (y > 0)
+            for i in range(len(centers)):
+                lo, hi, ce = bounds[i] / 180, bounds[i + 1] / 180, \
+                    centers[i] / 180
+                cond = hemi & (xs > lo) & (xs < hi)
+                left = xs < ce
+                start_i = jnp.where(cond & left, lo,
+                                    jnp.where(cond & ~left, ce, start_i))
+                stop_i = jnp.where(cond & left, ce,
+                                   jnp.where(cond & ~left, hi, stop_i))
+        x = (x - start_i * sx_scale) / (stop_i * sx_scale
+                                        - start_i * sx_scale) * sx_scale
+
     lam, phi, oob = proj.inverse(x, y)
+    if interrupted:
+        lam = lam / PI * (stop_i * PI - start_i * PI) + start_i * PI
     oob = oob | (lam < -PI) | (lam > PI) | (phi < -PI / 2) | (phi > PI / 2)
 
     R = rotation_matrix_euler(*params.rotation)
