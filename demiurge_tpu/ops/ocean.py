@@ -74,6 +74,11 @@ class OceanConfig:
     advect_method: str = "fast"
     fast_radius: int = 4
     polar_rows: int = 64
+    # pressure Poisson solver backend: 'xla' = one 5-point sweep per HBM
+    # round trip (reference-exact order), 'pallas' = fused K-sweep VMEM
+    # bands (pallas_kernels.jacobi, same fixpoint, f32 reassociation-level
+    # differences), 'auto' = pallas on TPU when the grid is band-divisible.
+    pressure_method: str = "auto"
 
 
 # ---------------------------------------------------------------------------
@@ -244,6 +249,20 @@ def advect(u, v, terrain, grid: Grid, cfg: OceanConfig):
     return nu, nv
 
 
+def _use_pallas_pressure(grid: Grid, cfg: OceanConfig) -> bool:
+    if cfg.pressure_method == "xla":
+        return False
+    bandable = grid.height % 128 == 0 and grid.width % 128 == 0
+    if cfg.pressure_method == "pallas":
+        if not bandable:
+            raise ValueError(
+                f"pressure_method='pallas' needs 128-divisible grid, got "
+                f"{grid.shape}")
+        return True
+    # auto: pallas only on TPU (the CPU pallas lowering is slower than XLA)
+    return bandable and jax.default_backend() == "tpu"
+
+
 def _pole_flip_mask(dy: int, grid: Grid):
     """Rows whose (0, dy) neighbor crossed a pole -> velocity sign flip
     (the |d lambda| ~ pi test, OceanCurrents.cpp:389/657)."""
@@ -346,6 +365,12 @@ def pressure_solve(divw, terrain, grid: Grid, cfg: OceanConfig,
     oW = shift(terrain, -1, 0, grid) > 0
     oC = terrain > 0
 
+    if _use_pallas_pressure(grid, cfg):
+        from ..pallas_kernels.jacobi import pressure_solve_pallas
+
+        return pressure_solve_pallas(divw, terrain, grid,
+                                     iters=cfg.jacobi_iters, p0=p0)
+
     p = jnp.zeros_like(divw) if p0 is None else p0
 
     def sweep(p, _):
@@ -396,9 +421,14 @@ def project(u, v, p, terrain, grid: Grid, cfg: OceanConfig):
     theta = jnp.mod((jnp.arctan2(fv, fu) / PI + 1) / 2 * 8 + 4, 8.0)
     lower = jnp.mod(jnp.floor(theta), 8).astype(jnp.int32)
     upper = jnp.mod(jnp.ceil(theta), 8).astype(jnp.int32)
-    o_stack = jnp.stack(o_arr)  # (8, H, W)
-    o_lower = jnp.take_along_axis(o_stack, lower[None], axis=0)[0]
-    o_upper = jnp.take_along_axis(o_stack, upper[None], axis=0)[0]
+    # per-pixel pick of o_arr[lower]/o_arr[upper]: 8-way select instead of a
+    # gather over the stacked (8,H,W) array — fuses into the surrounding
+    # elementwise work on TPU (gathers run at ~1/6 HBM speed here)
+    o_lower = jnp.zeros_like(o_arr[0])
+    o_upper = jnp.zeros_like(o_arr[0])
+    for i in range(8):
+        o_lower = o_lower | ((lower == i) & o_arr[i])
+        o_upper = o_upper | ((upper == i) & o_arr[i])
     is_border = o_lower | o_upper
 
     mag = jnp.sqrt(fu * fu + fv * fv)

@@ -144,9 +144,11 @@ def _kernel(k, p_ref, cN_ref, cS_ref, cE_ref, cW_ref, cC_ref, b_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("grid", "iters", "k", "band"))
+                   static_argnames=("grid", "iters", "k", "band",
+                                    "interpret"))
 def pressure_solve_pallas(divw, terrain, grid: Grid, iters: int = 5000,
-                          k: int = 8, band: int = 128, p0=None):
+                          k: int = 8, band: int = 128, p0=None,
+                          interpret: bool = False):
     """Drop-in for ops.ocean.pressure_solve (same fixpoint; f32
     reassociation-level differences).  iters rounds up to a multiple of k."""
     H, W = grid.shape
@@ -170,6 +172,7 @@ def pressure_solve_pallas(divw, terrain, grid: Grid, iters: int = 5000,
         in_specs=[spec] * 7,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((nbands, band, W), jnp.float32),
+        interpret=interpret,
     )
 
     n_rounds = (iters + k - 1) // k
