@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.grid import Grid
+from ..native import snapc
 from ..ops import adjust, blend, blur, erosion, flow, morphological, noise, \
     ocean, temperature, thermal
 from ..select import selection as sel_tools
@@ -38,16 +39,19 @@ from ..select import selection as sel_tools
 
 class SnapshotHistory:
     """Diff-based undo entry: stores compressed (old - new); undo adds the
-    diff, redo subtracts it (UndoHistory.cpp:19-67)."""
+    diff, redo subtracts it (UndoHistory.cpp:19-67).
 
-    def __init__(self, target: str, diff: np.ndarray):
+    Compression is the native fixed-accuracy codec (native/snapc — the
+    framework's zfp analog) at the reference's accuracy 1e-6
+    (Texture.cpp:132); pass ``accuracy=0`` for lossless."""
+
+    def __init__(self, target: str, diff: np.ndarray, accuracy: float = 1e-6):
         self.target = target
         self._shape = diff.shape
-        self._data = zlib.compress(np.asarray(diff, np.float32).tobytes(), 3)
+        self._data = snapc.compress(np.asarray(diff, np.float32), accuracy)
 
     def diff(self) -> jnp.ndarray:
-        arr = np.frombuffer(zlib.decompress(self._data), np.float32)
-        return jnp.asarray(arr.reshape(self._shape))
+        return jnp.asarray(snapc.decompress(self._data, self._shape))
 
     def undo(self, project: "Project"):
         project._set_field(self.target,

@@ -9,7 +9,8 @@ import threading
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "_demiurge_native.so")
-_SRCS = [os.path.join(_DIR, "lake_solver.cpp")]
+_SRCS = [os.path.join(_DIR, "lake_solver.cpp"),
+         os.path.join(_DIR, "snap_codec.cpp")]
 _LOCK = threading.Lock()
 _LIB = None
 

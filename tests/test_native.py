@@ -49,3 +49,65 @@ def test_flow_filter_uses_native_equivalently():
     fb = flow.flow_filter(h, sel, g, cfg,
                           lake_solver=native.solve_lakes_native)
     np.testing.assert_allclose(np.asarray(fa), np.asarray(fb), rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# snapshot codec (native/snapc — the zfp analog, Texture.cpp:123-181)
+# ---------------------------------------------------------------------------
+
+
+def _edit_diff(seed=0):
+    rng = np.random.default_rng(seed)
+    a = np.zeros((128, 256), np.float32)
+    a[30:60, 40:120] = rng.normal(0, 0.5, (30, 80)).astype(np.float32)
+    return a
+
+
+def test_snapc_roundtrip_accuracy():
+    from demiurge_tpu.native import snapc
+
+    a = _edit_diff()
+    for acc in (1e-6, 1e-3):
+        back = snapc.decompress(snapc.compress(a, acc), a.shape)
+        assert np.abs(back - a).max() <= acc * 0.5 + 1e-7
+
+
+def test_snapc_lossless_mode():
+    from demiurge_tpu.native import snapc
+
+    a = _edit_diff(1)
+    back = snapc.decompress(snapc.compress(a, 0.0), a.shape)
+    np.testing.assert_array_equal(back, a)
+
+
+def test_snapc_beats_plain_zlib_on_sparse_diffs():
+    import zlib
+
+    from demiurge_tpu.native import snapc
+
+    a = _edit_diff(2)
+    assert len(snapc.compress(a, 1e-6)) < len(zlib.compress(a.tobytes(), 3))
+
+
+def test_snapc_fallback_format_readable():
+    """The numpy fallback writer must round-trip without the native lib."""
+    from demiurge_tpu.native import snapc
+
+    a = _edit_diff(3)
+    orig = snapc._lib
+    try:
+        snapc._lib = lambda: None
+        blob = snapc.compress(a, 1e-6)
+        back = snapc.decompress(blob, a.shape)
+    finally:
+        snapc._lib = orig
+    assert np.abs(back - a).max() <= 5e-7 + 1e-7
+
+
+def test_snapshot_history_is_compressed():
+    from demiurge_tpu.api.project import SnapshotHistory
+
+    a = _edit_diff(4)
+    s = SnapshotHistory("terrain", a)
+    assert s.nbytes < a.nbytes / 4
+    np.testing.assert_allclose(np.asarray(s.diff()), a, atol=1e-6)
