@@ -35,6 +35,11 @@ def _build_parser():
         sp.add_argument("--xprof", type=str, default=None)
         sp.add_argument("--mesh", type=str, default=None,
                         help="NYxNX domain decomposition")
+        sp.add_argument("--checkpoint", type=str, default=None,
+                        help="checkpoint file; with --resume, restart from it")
+        sp.add_argument("--checkpoint-every", type=int, default=10)
+        sp.add_argument("--resume", action="store_true",
+                        help="resume from --checkpoint if it exists")
 
     common(sub.add_parser("erosion", help="fluvial erosion (BASELINE 1)"),
            1024, 512, 100)
@@ -173,10 +178,19 @@ def main(argv=None):
             _finish(args, grid, T, logger)
 
         elif args.cmd == "coupled":
-            from ..model import CoupledConfig, coupled_step, init_coupled
+            from ..model import CoupledConfig, CoupledState, coupled_step, \
+                init_coupled
+            from ..utils import checkpoint as ckpt
 
-            h = _terrain(grid, args.seed)
-            state = init_coupled(h, grid)
+            start = 0
+            if args.resume and args.checkpoint and \
+                    ckpt.latest(args.checkpoint):
+                state, start = ckpt.load(args.checkpoint, CoupledState)
+                print(f"resumed from {args.checkpoint} at step {start}",
+                      file=sys.stderr)
+            else:
+                h = _terrain(grid, args.seed)
+                state = init_coupled(h, grid)
             if mesh is not None:
                 import dataclasses as dc
 
@@ -186,10 +200,14 @@ def main(argv=None):
                        for f in ("height", "uplift", "sel", "u", "v",
                                  "temperature")})
             cfg = CoupledConfig()
-            for i in range(args.steps):
+            for i in range(start, args.steps):
                 state = coupled_step(state, grid, cfg)
                 logger.log(i, mass=M.mass(state.height, grid),
                            mean_T=M.mean_temperature(state.temperature, grid))
+                if args.checkpoint and (i + 1) % args.checkpoint_every == 0:
+                    ckpt.save(args.checkpoint, state, i + 1, grid)
+            if args.checkpoint:
+                ckpt.save(args.checkpoint, state, args.steps, grid)
             _finish(args, grid, state.height, logger)
 
 
