@@ -73,17 +73,28 @@ def blur13_pass(field, grid: Grid, direction, *, stretch_x: bool = True):
     if grid.wrap_x:
         from ..core.fastroll import const_sample_bilinear_y, row_sample_bilinear_x
 
+        if direction[0] != 0.0:
+            # horizontal: vmap the 6 taps over a stacked per-row-offset
+            # batch so the log2(W) roll network is traced ONCE, not 6x
+            # per pass (a pure compile-time economy; identical HLO math).
+            dxs = []
+            ws = []
+            for off_mag, w in zip(_OFFSETS, _WEIGHTS):
+                for sign in (1.0, -1.0):
+                    ox = sign * off_mag * direction[0]
+                    dx = ox / phifactor if stretch_x else jnp.full_like(phifactor, ox)
+                    dxs.append(dx)
+                    ws.append(w)
+            dxs = jnp.stack(dxs)                       # (6, H, 1)
+            taps = jax.vmap(lambda d: row_sample_bilinear_x(field, d))(dxs)
+            warr = jnp.asarray(ws, field.dtype).reshape(-1, 1, 1)
+            return field * _W0 + jnp.sum(taps * warr, axis=0)
+
         out = field * _W0
         for off_mag, w in zip(_OFFSETS, _WEIGHTS):
             for sign in (1.0, -1.0):
-                ox = sign * off_mag * direction[0]
                 oy = sign * off_mag * direction[1]
-                tap = field
-                if oy != 0.0:
-                    tap = const_sample_bilinear_y(tap, oy, grid)
-                if direction[0] != 0.0:
-                    dx = ox / phifactor if stretch_x else jnp.full_like(phifactor, ox)
-                    tap = row_sample_bilinear_x(tap, dx)
+                tap = const_sample_bilinear_y(field, oy, grid)
                 out = out + tap * w
         return out
 

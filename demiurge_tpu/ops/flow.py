@@ -400,8 +400,10 @@ def flow_solve_stencil(code, area2d, mouth, grid: Grid,
         (A, vis, root), _, it = carry
         prev = A
         prev_v = vis
-        for _ in range(check_every):
-            A, vis, root = sweep((A, vis, root))
+        # fori_loop (not Python unroll): keeps the while-body HLO small —
+        # compile time scales with ONE sweep, not check_every of them.
+        A, vis, root = jax.lax.fori_loop(
+            0, check_every, lambda _, c: sweep(c), (A, vis, root))
         done = jnp.all(A == prev) & jnp.all(vis == prev_v)
         return (A, vis, root), done, it + check_every
 
