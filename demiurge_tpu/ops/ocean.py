@@ -65,15 +65,18 @@ class OceanConfig:
     jacobi_iters: int = 5000            # (OceanCurrents.cpp:50)
     coriolis: float = 1.0               # reference formula scale; 0.0 = quirk
     exact_quirks: bool = False
-    # semi-Lagrangian sampling: 'fast' replaces the TPU-hostile gather with
-    # bounded-displacement tap selection (exact bilinear for backtraces up
-    # to fast_radius pixels — generous for the wind-driven speeds this
-    # solver produces — longer backtraces clamp; polar rows, whose
-    # longitude displacement diverges as 1/cos(phi), use the exact gather).
-    # 'exact' is the pure-gather GL-parity path.
+    # semi-Lagrangian sampling: 'fast' is gather-free — bilinear written as
+    # a sum over (2*tap_radius_x+1)*(2*tap_radius_y+1) integer taps with
+    # per-pixel hat weights (exact bilinear for displacements within the tap
+    # radii, clamped beyond — a CFL-style cap; the x radius is larger since
+    # the longitude displacement stretches as 1/cos(phi) toward the poles).
+    # Seam behavior: periodic in x where the GL-parity 'exact' path clamps
+    # the dateline subpixel (documented deviation; 'exact' = pure-gather
+    # parity).  On TPU the tap loop runs as a fused Pallas kernel
+    # (pallas_kernels.advect); elsewhere as XLA rolls.
     advect_method: str = "fast"
-    fast_radius: int = 4
-    polar_rows: int = 64
+    tap_radius_x: int = 8
+    tap_radius_y: int = 2
     # pressure Poisson solver backend: 'xla' = one 5-point sweep per HBM
     # round trip (reference-exact order), 'pallas' = fused K-sweep VMEM
     # bands (pallas_kernels.jacobi, same fixpoint, f32 reassociation-level
@@ -134,43 +137,47 @@ def wind_profile(grid: Grid):
     return wx, wy
 
 
-def _advect_sample_fast(u, v, s2, t2, grid: Grid, R: int, polar: int):
+def _advect_sample_fast(u, v, s2, t2, grid: Grid, Rx: int, Ry: int):
     """Bilinear fetch of (u, v) at backtraced coords without a gather.
 
-    Writes the bilinear interpolation as a sum over (2R+1)^2 integer taps
-    with per-pixel hat weights: w = hat(dx-kx)*hat(dy-ky); only the 4 taps
-    bracketing the displacement are nonzero, so the result is EXACTLY
-    bilinear for displacements within R pixels (clamped beyond — a CFL-style
-    cap).  Every tap is a global roll (dateline-periodic), which XLA fuses
-    at HBM speed — ~10x faster than the hardware gather at 2048x1024.
+    Writes the bilinear interpolation as a sum over (2Rx+1)*(2Ry+1) integer
+    taps with per-pixel hat weights: w = hat(dx-kx)*hat(dy-ky); only the 4
+    taps bracketing the displacement are nonzero, so the result is EXACTLY
+    bilinear for displacements within (Rx, Ry) pixels (clamped beyond — a
+    CFL-style cap; Rx > Ry because the longitude displacement stretches as
+    1/cos(phi) toward the poles while the latitude displacement has no
+    metric blowup).
 
-    The top/bottom `polar` rows (1/cos(phi) blows up the longitude
-    displacement) are overridden with the exact gather on just those rows.
+    x taps are periodic rolls (dateline-seamless); y taps beyond the grid
+    edge clamp to the edge row, matching the GL_CLAMP_TO_EDGE fetch of the
+    exact path (the backtraced point itself is always in range since
+    phi2 in [-pi/2, pi/2]).  Everything is fused slice/select work at HBM
+    speed — ~10x faster than the hardware gather at 2048x1024.
     """
+    from ..core.topology import _clamped_shift
+
     H, W = u.shape
     c = jnp.arange(W, dtype=jnp.float32).reshape(1, -1)
     r = jnp.arange(H, dtype=jnp.float32).reshape(-1, 1)
-    dx = jnp.clip(s2 * W - 0.5 - c, -R, R)
-    dy = jnp.clip(t2 * H - 0.5 - r, -R, R)
+    dx = jnp.clip(s2 * W - 0.5 - c, -Rx, Rx)
+    dy = jnp.clip(t2 * H - 0.5 - r, -Ry, Ry)
 
-    out_u = jnp.zeros_like(u)
-    out_v = jnp.zeros_like(v)
-    for ky in range(-R, R + 1):
+    if jax.default_backend() == "tpu":
+        from ..pallas_kernels.advect import (advect_sample_pallas,
+                                             advect_sample_supported)
+
+        if advect_sample_supported(H):
+            return advect_sample_pallas(u, v, dx, dy, Rx, Ry)
+
+    uv = jnp.stack([u, v])  # share the tap weights between components
+    out = jnp.zeros_like(uv)
+    for ky in range(-Ry, Ry + 1):
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(dy - ky))
-        uy = jnp.roll(u, -ky, 0)
-        vy = jnp.roll(v, -ky, 0)
-        for kx in range(-R, R + 1):
+        row = _clamped_shift(uv, ky, axis=1) if ky else uv
+        for kx in range(-Rx, Rx + 1):
             w = wy * jnp.maximum(0.0, 1.0 - jnp.abs(dx - kx))
-            out_u = out_u + w * jnp.roll(uy, -kx, 1)
-            out_v = out_v + w * jnp.roll(vy, -kx, 1)
-
-    if polar > 0:
-        for rows in (slice(0, polar), slice(H - polar, H)):
-            eu = sample_bilinear(u, s2[rows], t2[rows])
-            ev = sample_bilinear(v, s2[rows], t2[rows])
-            out_u = out_u.at[rows].set(eu)
-            out_v = out_v.at[rows].set(ev)
-    return out_u, out_v
+            out = out + w * jnp.roll(row, -kx, axis=-1)
+    return out[0], out[1]
 
 
 def advect(u, v, terrain, grid: Grid, cfg: OceanConfig):
@@ -199,12 +206,10 @@ def advect(u, v, terrain, grid: Grid, cfg: OceanConfig):
     phi2 = jnp.arcsin(jnp.clip(qz, -1.0, 1.0))
     s2, t2 = grid.spheric_to_tex(lam2, phi2)
 
-    use_fast = (cfg.advect_method == "fast" and grid.wrap_x
-                and grid.height > 2 * max(cfg.polar_rows, cfg.fast_radius))
+    use_fast = cfg.advect_method == "fast" and grid.wrap_x
     if use_fast:
-        polar = max(cfg.polar_rows, cfg.fast_radius)
         nu, nv = _advect_sample_fast(u, v, s2, t2, grid,
-                                     cfg.fast_radius, polar)
+                                     cfg.tap_radius_x, cfg.tap_radius_y)
     else:
         nu = sample_bilinear(u, s2, t2)
         nv = sample_bilinear(v, s2, t2)
