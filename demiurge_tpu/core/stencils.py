@@ -59,34 +59,47 @@ def texture_laplacian(field, grid: Grid, *, pole_wrap: bool = True):
 
     if grid.wrap_x:
         # fast path: the NEAREST fetch at a per-row x offset is a per-row
-        # integer roll (see core/fastroll.py); pole/y handled by shift().
-        from .fastroll import row_sample_nearest_x
+        # integer roll whose shift depends only on the grid, so it is STATIC:
+        # rows are processed in blocks grouped by shift magnitude (see
+        # core/fastroll.row_roll_static) — the equatorial 2/3 of the grid
+        # costs one roll per tap instead of log2(W) barrel stages.
+        import numpy as np
 
-        def tap(dx_stretched, dy_int):
+        from .fastroll import row_roll_static
+
+        H = grid.height
+        r_np = np.arange(H, dtype=np.float32)
+        t_np = (r_np + np.float32(0.5)) / np.float32(H)
+        phi_np = t_np * np.float32(grid.phi1 - grid.phi0) + np.float32(grid.phi0)
+        ic_np = np.float32(1.0) / np.cos(phi_np)
+
+        def tap(dx_sign, dy_int):
             row = shift(field, 0, dy_int, grid, pole_wrap=pole_wrap)
-            if dx_stretched is None:
+            if dx_sign is None:
                 return row
-            return row_sample_nearest_x(row, dx_stretched)
+            k = np.floor(np.float32(0.5) + dx_sign * ic_np).astype(np.int64)
+            return row_roll_static(row, k)
 
     else:
 
-        def tap(dx_stretched, dy_int):
-            if dx_stretched is None:  # pure integer offset
+        def tap(dx_sign, dy_int):
+            if dx_sign is None:  # pure integer offset
                 return shift(field, 0, dy_int, grid, pole_wrap=pole_wrap)
             return sample_offset_nearest(
-                field, dx_stretched, float(dy_int), grid, pole_wrap=pole_wrap
+                field, dx_sign * inv_cos, float(dy_int), grid,
+                pole_wrap=pole_wrap
             )
 
     # reference taps: offset(st, -vec2(sx, sy)) with sx in {±1/factor, 0}
-    a = tap(-inv_cos, -1)
+    a = tap(-1.0, -1)
     b = tap(None, -1)
-    c = tap(inv_cos, -1)
-    d = tap(-inv_cos, 0)
+    c = tap(1.0, -1)
+    d = tap(-1.0, 0)
     e = field
-    f = tap(inv_cos, 0)
-    g = tap(-inv_cos, 1)
+    f = tap(1.0, 0)
+    g = tap(-1.0, 1)
     h = tap(None, 1)
-    i = tap(inv_cos, 1)
+    i = tap(1.0, 1)
 
     _, dy = grid.pixelsize_rows()
     denom = 4 * dy * dy

@@ -71,24 +71,29 @@ def blur13_pass(field, grid: Grid, direction, *, stretch_x: bool = True):
     phifactor = jnp.cos(jnp.abs(phi))  # (H,1)
 
     if grid.wrap_x:
-        from ..core.fastroll import const_sample_bilinear_y, row_sample_bilinear_x
+        from ..core.fastroll import (const_sample_bilinear_y,
+                                     row_sample_bilinear_x_static)
 
         if direction[0] != 0.0:
-            # horizontal: vmap the 6 taps over a stacked per-row-offset
-            # batch so the log2(W) roll network is traced ONCE, not 6x
-            # per pass (a pure compile-time economy; identical HLO math).
-            dxs = []
-            ws = []
+            # horizontal: the per-row offsets depend only on the grid and
+            # radius, so they are STATIC — each tap is a depth-banded static
+            # roll (row_roll_static): near-equator rows pay one roll, not
+            # log2(W) barrel stages.
+            import numpy as np
+
+            H = grid.height
+            r_np = np.arange(H, dtype=np.float32)
+            t_np = (r_np + np.float32(0.5)) / np.float32(H)
+            phi_np = t_np * np.float32(grid.phi1 - grid.phi0) + np.float32(grid.phi0)
+            pf_np = np.cos(np.abs(phi_np))
+
+            out = field * _W0
             for off_mag, w in zip(_OFFSETS, _WEIGHTS):
                 for sign in (1.0, -1.0):
-                    ox = sign * off_mag * direction[0]
-                    dx = ox / phifactor if stretch_x else jnp.full_like(phifactor, ox)
-                    dxs.append(dx)
-                    ws.append(w)
-            dxs = jnp.stack(dxs)                       # (6, H, 1)
-            taps = jax.vmap(lambda d: row_sample_bilinear_x(field, d))(dxs)
-            warr = jnp.asarray(ws, field.dtype).reshape(-1, 1, 1)
-            return field * _W0 + jnp.sum(taps * warr, axis=0)
+                    ox = np.float32(sign * off_mag * direction[0])
+                    dx = ox / pf_np if stretch_x else np.full_like(pf_np, ox)
+                    out = out + row_sample_bilinear_x_static(field, dx) * w
+            return out
 
         out = field * _W0
         for off_mag, w in zip(_OFFSETS, _WEIGHTS):

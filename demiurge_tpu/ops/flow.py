@@ -364,8 +364,21 @@ def flow_solve_stencil(code, area2d, mouth, grid: Grid,
     inc = _incoming_fields(code, grid)
     has_conns = conn_from is not None and conn_from.shape[0] > 0
 
-    # downstream-selection masks: which direction each cell's code points to
-    out_masks = [(CODE_DIR[c], code == c) for c in range(1, 10) if c != 5]
+    # downstream-selection masks: which direction each cell's code points to,
+    # masked to in-range rows (the CPU traversal clips y, FlowFilter.cpp:
+    # 39-75; without the mask a clamped diagonal shift at the grid edge
+    # would read the east/west neighbor's visited flag)
+    rows_idx = jnp.arange(H).reshape(-1, 1)
+
+    def _rowmask(dy):
+        if dy > 0:
+            return rows_idx < H - dy
+        if dy < 0:
+            return rows_idx >= -dy
+        return jnp.ones((H, 1), bool)
+
+    out_masks = [(CODE_DIR[c], (code == c) & _rowmask(CODE_DIR[c][1]))
+                 for c in range(1, 10) if c != 5]
     idx = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
     sink = code == 5
 
@@ -619,6 +632,15 @@ def flow_filter_device(height, sel, grid: Grid, exponent: float = 0.5,
     code = flow_directions(hb, sel, grid)
     _, mouth, interesting = incoming_mask(code, grid)
     area = cell_area_lower_edge(grid)
+
+    if jax.default_backend() == "tpu" and jax.device_count() == 1:
+        from ..pallas_kernels.flow import (flow_solve_pallas,
+                                           flow_solve_supported)
+
+        if flow_solve_supported(grid):
+            acc, vis = flow_solve_pallas(code, area, mouth, grid)
+            return jnp.where(vis, jnp.power(acc, exponent), -1.0)
+
     acc, vis, _ = flow_solve_stencil(code, area, mouth, grid)
     return jnp.where(vis, jnp.power(acc, exponent), -1.0)
 

@@ -52,17 +52,27 @@ def _circle_pass(field, grid: Grid, radius: float, op: str):
 
     if grid.wrap_x:
         # fast path: NEAREST at (per-row x stretch, constant y) = row shift
-        # + per-row roll (core/fastroll.py)
+        # + per-row STATIC roll (the offsets depend only on grid and radius;
+        # core/fastroll.row_roll_static banding makes near-equator rows pay
+        # one roll per sample instead of log2(W) barrel stages)
+        import numpy as np
+
         from ..core.topology import shift
-        from ..core.fastroll import row_sample_nearest_x
+        from ..core.fastroll import row_sample_nearest_x_static
+
+        H = grid.height
+        r_np = np.arange(H, dtype=np.float32)
+        t_np = (r_np + np.float32(0.5)) / np.float32(H)
+        phi_np = t_np * np.float32(grid.phi1 - grid.phi0) + np.float32(grid.phi0)
+        factor_np = np.float32(1.0) / np.cos(np.abs(phi_np))
 
         for i in range(_N_SAMPLES):
             ang = 2 * PI * i / _N_SAMPLES
             dy = math.sin(ang) * radius
             ky = math.floor(0.5 + dy)
-            dx = math.cos(ang) * radius * factor
+            dx = np.float32(math.cos(ang) * radius) * factor_np
             tap = shift(field, 0, ky, grid)
-            tap = row_sample_nearest_x(tap, dx)
+            tap = row_sample_nearest_x_static(tap, dx)
             acc = reduce(acc, tap)
         return acc
 

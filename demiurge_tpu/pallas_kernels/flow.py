@@ -1,0 +1,205 @@
+"""Fused multi-sweep flow-accumulation kernel (Pallas TPU).
+
+ops.flow.flow_solve_stencil iterates an 8-neighbor masked-add relaxation to
+the upstream-accumulation fixpoint; convergence takes longest-flow-path
+(~hundreds at 2048x1024) sweeps, each a full HBM round trip on the XLA
+path.  This kernel runs K sweeps per HBM round trip: row bands staged into
+VMEM with a K-deep halo (validity shrinks one ring per sweep), direction
+masks packed into one int32 field.
+
+Two workload reducers on top of the banding:
+
+- **Active-band skipping**: a band whose cells did not change in the last
+  round — and whose neighbors' didn't either — cannot change this round
+  (information moves at most K <= band rows per round), so its program
+  instance skips the sweeps entirely and copies its state through.  The
+  convergence frontier shrinks to the few bands containing the longest
+  unresolved flow paths, which is where all remaining work lives.
+- **Per-band change flags** double as the convergence test: the solve is
+  done when no band changed, so the driver's while-loop needs no extra
+  full-grid comparison pass.
+
+Sweep semantics are identical to flow_solve_stencil (same fixpoint, same
+f32 summation order — bitwise-equal results):
+
+  A'   = area + sum_d inc_d * shift(A, d)       (upstream area sum)
+  vis' = mouth | (out_d & shift(vis, d))        (mouth reachability)
+
+with the reference's CPU-traversal range rules (x periodic over the
+dateline — the kernel requires wrap_x — y rows clip at the grid edge, no
+pole wrap; reference src/filter/FlowFilter.cpp:39-75).  Out-of-range
+contributions are masked off in the packed field, so halo contents at the
+global y edges never matter.
+
+Packed int32 layout per pixel:
+  bits 0..7  incoming: neighbor at _SCAN_ORDER[i] flows into this pixel
+  bits 8..15 outgoing one-hot: this pixel's code points at _SCAN_ORDER[i]
+  bit  16    river mouth
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.grid import Grid
+
+#: must match ops.flow._SCAN_ORDER
+_SCAN_ORDER = ((1, 1), (0, 1), (-1, 1), (1, 0), (-1, 0), (1, -1), (0, -1), (-1, -1))
+
+
+def pack_masks(code, mouth, grid: Grid):
+    """Fold the 8 incoming masks, 8 outgoing one-hots and the mouth flag
+    into one int32 field (see module docstring for the range rules)."""
+    from ..ops.flow import _incoming_fields
+    from ..core.topology import DIR_CODE
+
+    H, W = grid.shape
+    packed = jnp.zeros(grid.shape, jnp.int32)
+    for i, ((dx, dy), ok) in enumerate(_incoming_fields(code, grid)):
+        packed = packed | jnp.where(ok, 1 << i, 0)
+    rows = jnp.arange(H).reshape(-1, 1)
+    for i, (dx, dy) in enumerate(_SCAN_ORDER):
+        m = code == DIR_CODE[(dx, dy)]
+        if dy > 0:
+            m = m & (rows < H - dy)
+        elif dy < 0:
+            m = m & (rows >= -dy)
+        packed = packed | jnp.where(m, 1 << (8 + i), 0)
+    packed = packed | jnp.where(mouth, 1 << 16, 0)
+    return packed
+
+
+def _windows(x, band, k, nbands):
+    return jnp.stack([x[i * band:i * band + band + 2 * k]
+                      for i in range(nbands)], 0)
+
+
+def _pad_zero_rows(x, k):
+    H, W = x.shape
+    z = jnp.zeros((k, W), x.dtype)
+    return jnp.concatenate([z, x, z], 0)
+
+
+def _kernel(K, nbands, flags_ref, packed_ref, area_ref, a_ref, vis_ref,
+            aout_ref, vout_ref, chg_ref):
+    b = pl.program_id(0)
+    left = flags_ref[jnp.maximum(b - 1, 0)]
+    right = flags_ref[jnp.minimum(b + 1, nbands - 1)]
+    active = (flags_ref[b] | left | right) != 0
+
+    @pl.when(active)
+    def _run():
+        packed = packed_ref[0]
+        area = area_ref[0]
+        rows, W = area.shape
+
+        def sweep(_, carry):
+            # masks are unpacked per use: precomputing all 17 boolean
+            # fields materializes them as 32-bit vmasks -> scoped-vmem OOM
+            A, vis = carry
+            newA = area
+            newvis = jnp.where((packed & (1 << 16)) != 0, 1.0, 0.0)
+            for i, (dx, dy) in enumerate(_SCAN_ORDER):
+                Ad = pltpu.roll(A, (-dy) % rows, 0)
+                vd = pltpu.roll(vis, (-dy) % rows, 0)
+                if dx:
+                    Ad = pltpu.roll(Ad, (-dx) % W, 1)
+                    vd = pltpu.roll(vd, (-dx) % W, 1)
+                newA = newA + jnp.where((packed & (1 << i)) != 0, Ad, 0.0)
+                newvis = jnp.maximum(
+                    newvis, jnp.where((packed & (1 << (8 + i))) != 0, vd, 0.0))
+            return newA, newvis
+
+        # fori_loop (not Python unroll): Mosaic keeps every unrolled sweep's
+        # rolled temporaries live on the VMEM stack -> scoped-vmem OOM
+        A, vis = jax.lax.fori_loop(0, K, sweep, (a_ref[0], vis_ref[0]))
+        newA = A[K:-K, :]
+        newvis = vis[K:-K, :]
+        changed = (jnp.any(newA != a_ref[0, K:-K, :])
+                   | jnp.any(newvis != vis_ref[0, K:-K, :]))
+        aout_ref[0] = newA
+        vout_ref[0] = newvis
+        chg_ref[b] = changed.astype(jnp.int32)
+
+    @pl.when(jnp.logical_not(active))
+    def _skip():
+        aout_ref[0] = a_ref[0, K:-K, :]
+        vout_ref[0] = vis_ref[0, K:-K, :]
+        chg_ref[b] = 0
+
+
+def _pick_band(H: int) -> int:
+    for band in (128, 64, 32):
+        if H % band == 0:
+            return band
+    return 0
+
+
+def flow_solve_supported(grid: Grid) -> bool:
+    return grid.wrap_x and _pick_band(grid.height) > 0
+
+
+@functools.partial(jax.jit, static_argnames=("grid", "k", "band",
+                                             "max_iters", "interpret"))
+def flow_solve_pallas(code, area2d, mouth, grid: Grid, k: int = 16,
+                      band: int = 0, max_iters: int = 1 << 20,
+                      interpret: bool = False):
+    """Drop-in for ops.flow.flow_solve_stencil (no lake connections, no
+    root tracking — the jittable hot path).  Returns (A, vis bool)."""
+    H, W = grid.shape
+    band = band or _pick_band(H)
+    assert band > 0 and H % band == 0 and grid.wrap_x, (grid.shape, band)
+    assert k <= band, (k, band)  # change propagates <= 1 band per round
+    nbands = H // band
+
+    packed = pack_masks(code, mouth, grid)
+    pw = _windows(_pad_zero_rows(packed, k), band, k, nbands)
+    aw = _windows(_pad_zero_rows(area2d, k), band, k, nbands)
+
+    pad_spec = pl.BlockSpec((1, band + 2 * k, W), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, band, W), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    flags_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    # chg is one shared (nbands,) SMEM vector: each (sequential) grid
+    # step writes its own slot — rank-1 SMEM outputs cannot be blocked
+    chg_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    call = pl.pallas_call(
+        functools.partial(_kernel, k, nbands),
+        grid=(nbands,),
+        in_specs=[flags_spec] + [pad_spec] * 4,
+        out_specs=(out_spec, out_spec, chg_spec),
+        out_shape=(jax.ShapeDtypeStruct((nbands, band, W), jnp.float32),
+                   jax.ShapeDtypeStruct((nbands, band, W), jnp.float32),
+                   jax.ShapeDtypeStruct((nbands,), jnp.int32)),
+        # the sweep's live set (~20MB at band=128, k=16) exceeds the 16MB
+        # default scoped-vmem budget; v5e has 128MB of VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    A0 = area2d
+    vis0 = jnp.where(mouth, 1.0, 0.0)
+    flags0 = jnp.ones((nbands,), jnp.int32)
+
+    def cond(carry):
+        _, _, flags, it = carry
+        return jnp.any(flags != 0) & (it < max_iters)
+
+    def body(carry):
+        A, vis, flags, it = carry
+        Aw = _windows(_pad_zero_rows(A, k), band, k, nbands)
+        vw = _windows(_pad_zero_rows(vis, k), band, k, nbands)
+        Ao, vo, chg = call(flags, pw, aw, Aw, vw)
+        return Ao.reshape(H, W), vo.reshape(H, W), chg, it + k
+
+    A, vis, _, _ = jax.lax.while_loop(
+        cond, body, (A0, vis0, flags0, 0))
+    return A, vis > 0.5

@@ -62,6 +62,53 @@ def test_pressure_pallas_interpret():
                                rtol=2e-4, atol=1e-6 * float(jnp.abs(px).max() + 1))
 
 
+def test_flow_pallas_interpret_matches_stencil():
+    """The banded multi-sweep flow kernel must hit the exact fixpoint of
+    flow_solve_stencil (bitwise: both sum the same 8 masked adds in the
+    same order)."""
+    from demiurge_tpu.ops import flow
+    from demiurge_tpu.ops.blur import blur
+    from demiurge_tpu.ops.noise import NoiseParams, fbm
+    from demiurge_tpu.pallas_kernels.flow import flow_solve_pallas
+
+    grid = Grid(128, 64)
+    h = fbm(grid, NoiseParams(octaves=4, scale=2.0, min=-2.0, max=3.0,
+                              seed=3))
+    sel = jnp.ones(grid.shape, jnp.float32)
+    hb = blur(h, grid, 0.5)
+    code = flow.flow_directions(hb, sel, grid)
+    _, mouth, _ = flow.incoming_mask(code, grid)
+    area = flow.cell_area_lower_edge(grid)
+
+    A_ref, vis_ref, _ = flow.flow_solve_stencil(code, area, mouth, grid)
+    A, vis = flow_solve_pallas(code, area, mouth, grid, k=8,
+                               interpret=True)
+    np.testing.assert_array_equal(np.asarray(vis), np.asarray(vis_ref))
+    np.testing.assert_array_equal(np.asarray(A), np.asarray(A_ref))
+
+
+def test_advect_pallas_interpret_matches_taps():
+    """The fused tap-sampler kernel must match the XLA tap loop exactly."""
+    from demiurge_tpu.ops.ocean import _advect_sample_fast
+    from demiurge_tpu.pallas_kernels.advect import advect_sample_pallas
+
+    grid, h, u, v = _setup(256, 128)
+    W, H = grid.width, grid.height
+    key = jax.random.PRNGKey(7)
+    k1, k2 = jax.random.split(key)
+    dx = jax.random.uniform(k1, (H, W), minval=-8.0, maxval=8.0)
+    dy = jax.random.uniform(k2, (H, W), minval=-2.0, maxval=2.0)
+    c = jnp.arange(W, dtype=jnp.float32).reshape(1, -1)
+    r = jnp.arange(H, dtype=jnp.float32).reshape(-1, 1)
+    s2 = (c + dx + 0.5) / W
+    t2 = (r + dy + 0.5) / H
+
+    xu, xv = _advect_sample_fast(u, v, s2, t2, grid, 8, 2)
+    pu, pv = advect_sample_pallas(u, v, dx, dy, 8, 2, interpret=True)
+    np.testing.assert_allclose(np.asarray(pu), np.asarray(xu), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(xv), atol=1e-5)
+
+
 def test_pressure_method_auto_dispatch():
     """'auto' must pick xla on CPU and not crash on odd grids."""
     grid, h, u, v = _setup(250, 120)
