@@ -230,6 +230,53 @@ class Project:
         from ..ops import deterrace as _dt
         self._apply_terrain(_dt.deterrace(self.terrain, self.grid, **kw))
 
+    def ocean_currents(self, steps: int = 1,
+                       cfg: ocean.OceanConfig = None):
+        """Run the ocean-current solver against the current terrain
+        (reference OceanCurrents filter).  Velocity persists on the session
+        (``self.ocean_uv``) and feeds the VectorField appearance layer;
+        returns (u, v)."""
+        cfg = cfg or ocean.OceanConfig(jacobi_iters=1000)
+        if getattr(self, "ocean_uv", None) is None:
+            self.ocean_uv = ocean.init_ocean(self.grid)
+        u, v = self.ocean_uv
+        for _ in range(steps):
+            u, v, _, _ = ocean.ocean_step(u, v, self.terrain, self.grid, cfg)
+        self.ocean_uv = (u, v)
+        return u, v
+
+    def temperature_sim(self, substeps: int = 10, *,
+                        write_terrain: bool = True):
+        """Seasonal climate model (reference Temperature filter).  The
+        reference swaps the terrain texture out and displays T in its place
+        (Temperature.cpp:27-45); with ``write_terrain`` the terrain is
+        (undoably) replaced by the temperature field, else it is only
+        stored on ``self.temperature``."""
+        T = getattr(self, "temperature", None)
+        ti = getattr(self, "_temperature_i", 0.0)
+        if T is None:
+            T = temperature.init_temperature(self.grid)
+        T, ti = temperature.temperature_step(T, self.terrain, ti, self.grid,
+                                             substeps=substeps)
+        self.temperature = T
+        self._temperature_i = ti
+        if write_terrain:
+            self._apply_terrain(T)
+        return T
+
+    def tectonics(self, steps: int = 70, plates=None):
+        """Plate tectonics (reference Tectonics filter): evolves the
+        terrain through plate motion, collision orogeny and ocean
+        spreading; undoable.  Plate state persists on ``self.plates`` so
+        repeated runs continue the simulation."""
+        from ..ops import tectonics as _tec
+
+        cfg = _tec.TectonicsConfig(steps=steps)
+        plates = plates if plates is not None else getattr(self, "plates", None)
+        self.plates, new = _tec.run_tectonics(self.terrain, self.grid, cfg,
+                                              plates=plates)
+        self._apply_terrain(new)
+
     # ---- selection ----------------------------------------------------------
 
     def select_all(self):

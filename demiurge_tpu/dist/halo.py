@@ -135,12 +135,28 @@ def pressure_solve_sharded(divw, terrain, grid: Grid, mesh: Mesh,
         p = jnp.zeros_like(divw_b)
         n_rounds = (iters + k - 1) // k
 
+        yi = jax.lax.axis_index("y")
+        ny = mesh.shape["y"]
+
+        def swap_pole_rows(a, b):
+            """In pole-reflected halo rows, 'padded north' is 'sphere south':
+            the (oN, oS) pair must swap there so the halo rows' own sweep
+            updates use the right neighbor masks (same fix as the Pallas
+            kernel's _pad_coeff)."""
+            rows = jnp.arange(a.shape[0]).reshape(-1, 1)
+            in_south_halo = (rows < k) & (yi == 0) & grid.wrap_south
+            in_north_halo = (rows >= a.shape[0] - k) & (yi == ny - 1) \
+                & grid.wrap_north
+            sw = in_south_halo | in_north_halo
+            return jnp.where(sw, b, a), jnp.where(sw, a, b)
+
         # pad the static fields once per round too (cheap, fused)
         def round_fn(p, _):
             pp = exchange_halo(p, k, grid, mesh)
             dd = exchange_halo(divw_b, k, grid, mesh)
             nN = exchange_halo(oN_b, k, grid, mesh)
             nS = exchange_halo(oS_b, k, grid, mesh)
+            nN, nS = swap_pole_rows(nN, nS)
             nE = exchange_halo(oE_b, k, grid, mesh)
             nW = exchange_halo(oW_b, k, grid, mesh)
             nC = exchange_halo(oC_b, k, grid, mesh)

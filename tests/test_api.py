@@ -144,3 +144,35 @@ def test_render_pipeline():
     img = p.render(projection="mollweide", out_w=128, out_h=64)
     assert img.shape == (64, 128, 4)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_project_simulation_filters():
+    """The reference's OceanCurrents / Temperature / Tectonics filters as
+    session operations: velocity persists, temperature replaces terrain
+    undoably (Temperature.cpp:27-45), tectonics evolves plates."""
+    from demiurge_tpu.ops.noise import NoiseParams
+
+    p = Project(64, 32)
+    p.gradient_noise(NoiseParams(octaves=3, scale=2.0, min=-2.0, max=3.0,
+                                 seed=1))
+    terrain_before = np.asarray(p.terrain)
+
+    u, v = p.ocean_currents(steps=1)
+    assert u.shape == p.grid.shape
+    assert bool(jnp.isfinite(u).all()) and bool(jnp.isfinite(v).all())
+    u2, _ = p.ocean_currents(steps=1)  # continues from persisted state
+    assert float(jnp.abs(u2).max()) > 0
+
+    T = p.temperature_sim(substeps=2)  # write_terrain=True by default
+    np.testing.assert_array_equal(np.asarray(p.terrain), np.asarray(T))
+    assert p.undo()
+    # undo diffs go through the fixed-accuracy codec (1e-6, zfp parity)
+    np.testing.assert_allclose(np.asarray(p.terrain), terrain_before,
+                               atol=2e-6)
+
+    p.tectonics(steps=1)
+    assert p.plates  # plate state persists for continued runs
+    assert bool(jnp.isfinite(p.terrain).all())
+    assert p.undo()
+    np.testing.assert_allclose(np.asarray(p.terrain), terrain_before,
+                               atol=4e-6)
