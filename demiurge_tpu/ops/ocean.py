@@ -181,16 +181,35 @@ def _advect_sample_fast(u, v, s2, t2, grid: Grid, Rx: int, Ry: int):
 
 
 def advect(u, v, terrain, grid: Grid, cfg: OceanConfig):
-    """Semi-Lagrangian advection + wind forcing (OceanCurrents.cpp:235-360)."""
-    lam, phi = grid.lam_phi()
-    lam = jnp.broadcast_to(lam, grid.shape)
-    phi = jnp.broadcast_to(phi, grid.shape)
+    """Semi-Lagrangian advection + wind forcing (OceanCurrents.cpp:235-360).
+
+    Transcendental-light formulation: the departure-point trig (lam/phi of
+    every pixel) is computed on the 1D row/column axes and broadcast; the
+    landing point's tangent basis is derived algebraically from the rotated
+    Cartesian point q (cos(phi2) = hypot(qx, qy), east = (-qy, qx, 0)/...),
+    so only atan2/asin for the sample coords and sin/cos of the arclength
+    remain per-pixel.  Algebraically identical to evaluating the basis at
+    (lam2, phi2)."""
+    lam1d, phi1d = grid.lam_phi()      # (1,W), (H,1)
+    sin_lam = jnp.sin(lam1d)
+    cos_lam = jnp.cos(lam1d)
+    sin_phi = jnp.sin(phi1d)
+    cos_phi = jnp.cos(phi1d)
 
     speed = jnp.sqrt(u * u + v * v)
     arclength = 2 * REF_PI / grid.circumference * speed * cfg.timestep
 
-    px, py, pz = jnp.cos(phi) * jnp.cos(lam), jnp.cos(phi) * jnp.sin(lam), jnp.sin(phi)
-    cx, cy, cz = _v_to_cartesian(u, v, lam, phi)
+    px = cos_phi * cos_lam
+    py = cos_phi * sin_lam
+    pz = jnp.broadcast_to(sin_phi, grid.shape)
+    # tangent basis at the departure pixel (OceanCurrents.cpp:251-258)
+    ex, ey = -sin_lam, cos_lam                       # east (z comp 0)
+    nx = -sin_phi * cos_lam
+    ny = -sin_phi * sin_lam
+    nz = cos_phi
+    cx = u * ex + v * nx
+    cy = u * ey + v * ny
+    cz = v * nz
 
     # rotation axis = normalize(cross(pos, v_cart)); eps-normalized so that
     # zero velocity yields arclength 0 -> identity (reference NaN-guards to 0)
@@ -214,10 +233,22 @@ def advect(u, v, terrain, grid: Grid, cfg: OceanConfig):
         nu = sample_bilinear(u, s2, t2)
         nv = sample_bilinear(v, s2, t2)
 
-    # parallel transport back (rotate sampled vector by +arclength)
-    tx, ty, tz = _v_to_cartesian(nu, nv, lam2, phi2)
+    # parallel transport back (rotate sampled vector by +arclength); the
+    # landing-point basis comes from q directly: cos(phi2) = hypot(qx, qy)
+    cp2 = jnp.sqrt(qx * qx + qy * qy)
+    inv_cp2 = 1.0 / jnp.maximum(cp2, 1e-30)
+    cl2 = qx * inv_cp2                               # cos(lam2)
+    sl2 = qy * inv_cp2                               # sin(lam2)
+    e2x, e2y = -sl2, cl2
+    n2x = -qz * cl2                                  # -sin(phi2) cos(lam2)
+    n2y = -qz * sl2
+    n2z = cp2
+    tx = nu * e2x + nv * n2x
+    ty = nu * e2y + nv * n2y
+    tz = nv * n2z
     tx, ty, tz = _rotate(arclength, ax, ay, az, tx, ty, tz)
-    nu, nv = _cartesian_to_v(tx, ty, tz, lam, phi)
+    nu = tx * ex + ty * ey
+    nv = tx * nx + ty * ny + tz * nz
 
     bad = jnp.isnan(nu) | jnp.isnan(nv)
     nu = jnp.where(bad, 0.0, nu)
@@ -226,12 +257,15 @@ def advect(u, v, terrain, grid: Grid, cfg: OceanConfig):
     # Coriolis (OceanCurrents.cpp:325-327); reference multiplies by 0.0
     cor = 0.0 if cfg.exact_quirks else cfg.coriolis
     if cor != 0.0:
-        wx_, wy_, wz_ = 0.0, 0.0, 1.0 / 24.0
-        vcx, vcy, vcz = _v_to_cartesian(nu, nv, lam, phi)
-        acx = -2 * (wy_ * vcz - wz_ * vcy)
-        acy = -2 * (wz_ * vcx - wx_ * vcz)
-        acz = -2 * (wx_ * vcy - wy_ * vcx)
-        du, dv = _cartesian_to_v(acx, acy, acz, lam, phi)
+        wz_ = 1.0 / 24.0  # planetary rotation (rev/h); omega = (0, 0, wz)
+        vcx = nu * ex + nv * nx
+        vcy = nu * ey + nv * ny
+        vcz = nv * nz
+        acx = -2 * (-wz_ * vcy)
+        acy = -2 * (wz_ * vcx)
+        acz = jnp.zeros_like(vcz)
+        du = acx * ex + acy * ey
+        dv = acx * nx + acy * ny + acz * nz
         nu = nu + du * cfg.timestep / 5000 * cor
         nv = nv + dv * cfg.timestep / 5000 * cor
 
