@@ -94,30 +94,8 @@ def _kernel(K, nbands, flags_ref, packed_ref, area_ref, a_ref, vis_ref,
 
     @pl.when(active)
     def _run():
-        packed = packed_ref[0]
-        area = area_ref[0]
-        rows, W = area.shape
-
-        def sweep(_, carry):
-            # masks are unpacked per use: precomputing all 17 boolean
-            # fields materializes them as 32-bit vmasks -> scoped-vmem OOM
-            A, vis = carry
-            newA = area
-            newvis = jnp.where((packed & (1 << 16)) != 0, 1.0, 0.0)
-            for i, (dx, dy) in enumerate(_SCAN_ORDER):
-                Ad = pltpu.roll(A, (-dy) % rows, 0)
-                vd = pltpu.roll(vis, (-dy) % rows, 0)
-                if dx:
-                    Ad = pltpu.roll(Ad, (-dx) % W, 1)
-                    vd = pltpu.roll(vd, (-dx) % W, 1)
-                newA = newA + jnp.where((packed & (1 << i)) != 0, Ad, 0.0)
-                newvis = jnp.maximum(
-                    newvis, jnp.where((packed & (1 << (8 + i))) != 0, vd, 0.0))
-            return newA, newvis
-
-        # fori_loop (not Python unroll): Mosaic keeps every unrolled sweep's
-        # rolled temporaries live on the VMEM stack -> scoped-vmem OOM
-        A, vis = jax.lax.fori_loop(0, K, sweep, (a_ref[0], vis_ref[0]))
+        A, vis = _sweep_body(K, packed_ref[0], area_ref[0],
+                             a_ref[0], vis_ref[0])
         newA = A[K:-K, :]
         newvis = vis[K:-K, :]
         changed = (jnp.any(newA != a_ref[0, K:-K, :])
@@ -133,6 +111,174 @@ def _kernel(K, nbands, flags_ref, packed_ref, area_ref, a_ref, vis_ref,
         chg_ref[b] = 0
 
 
+def _sweep_body(K, packed, area, a0, vis0):
+    """K Jacobi sweeps of the (A, vis) relaxation on one padded block.
+
+    Shared by the 1D-banded and 2D-tiled kernels; all arrays have the same
+    padded shape.  Returns (A, vis) after K sweeps."""
+    rows, W = area.shape
+
+    def sweep(_, carry):
+        # masks are unpacked per use: precomputing all 17 boolean
+        # fields materializes them as 32-bit vmasks -> scoped-vmem OOM
+        A, vis = carry
+        newA = area
+        newvis = jnp.where((packed & (1 << 16)) != 0, 1.0, 0.0)
+        for i, (dx, dy) in enumerate(_SCAN_ORDER):
+            Ad = pltpu.roll(A, (-dy) % rows, 0)
+            vd = pltpu.roll(vis, (-dy) % rows, 0)
+            if dx:
+                Ad = pltpu.roll(Ad, (-dx) % W, 1)
+                vd = pltpu.roll(vd, (-dx) % W, 1)
+            newA = newA + jnp.where((packed & (1 << i)) != 0, Ad, 0.0)
+            newvis = jnp.maximum(
+                newvis, jnp.where((packed & (1 << (8 + i))) != 0, vd, 0.0))
+        return newA, newvis
+
+    # fori_loop (not Python unroll): Mosaic keeps every unrolled sweep's
+    # rolled temporaries live on the VMEM stack -> scoped-vmem OOM
+    return jax.lax.fori_loop(0, K, sweep, (a0, vis0))
+
+
+def _kernel2d(K, HX, ty, tx, nby, nbx, flags_ref, ppad, areapad, apad, vpad,
+              aout, vout, chg_ref, avm, vvm, pvm, arvm, sem):
+    """2D-tiled variant with manual DMA: tiles whose 3x3 neighborhood was
+    quiet last round skip both the copies and the compute (the convergence
+    frontier is local in x as well as y).  aout/vout alias apad/vpad, so a
+    skipped tile's state simply stays in place; within one call, tiles run
+    sequentially and later tiles see earlier tiles' writes (Gauss-Seidel
+    ordering — converges to the same unique fixpoint, often in fewer
+    rounds)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    t = i * nbx + j
+
+    act = jnp.int32(0)
+    for di in (-1, 0, 1):
+        ii = jnp.clip(i + di, 0, nby - 1)
+        for dj in (-1, 0, 1):
+            jj = (j + dj + nbx) % nbx    # x wraps over the dateline
+            act = act | flags_ref[ii * nbx + jj]
+
+    @pl.when(act != 0)
+    def _run():
+        # x halo is HX=128 wide (DMA lane slices must be 128-aligned in
+        # both shape and offset); y halo is the K rows the sweeps need
+        r0 = i * ty
+        c0 = j * tx
+        win = (pl.ds(r0, ty + 2 * K), pl.ds(c0, tx + 2 * HX))
+        copies = [pltpu.make_async_copy(src.at[win], dst, sem.at[n])
+                  for n, (src, dst) in enumerate(
+                      ((apad, avm), (vpad, vvm), (ppad, pvm),
+                       (areapad, arvm)))]
+        for cp in copies:
+            cp.start()
+        for cp in copies:
+            cp.wait()
+        a0 = avm[...]
+        vis0 = vvm[...]
+        A, vis = _sweep_body(K, pvm[...], arvm[...], a0, vis0)
+        changed = (jnp.any(A[K:-K, HX:-HX] != a0[K:-K, HX:-HX])
+                   | jnp.any(vis[K:-K, HX:-HX] != vis0[K:-K, HX:-HX]))
+        avm[...] = A
+        vvm[...] = vis
+        interior = (pl.ds(K, ty), pl.ds(HX, tx))
+        out_at = (pl.ds(r0 + K, ty), pl.ds(c0 + HX, tx))
+        wcopies = [pltpu.make_async_copy(vm.at[interior], out.at[out_at],
+                                         sem.at[n])
+                   for n, (vm, out) in enumerate(((avm, aout), (vvm, vout)))]
+        for cp in wcopies:
+            cp.start()
+        for cp in wcopies:
+            cp.wait()
+        chg_ref[t] = changed.astype(jnp.int32)
+
+    @pl.when(act == 0)
+    def _skip():
+        chg_ref[t] = 0
+
+
+def _pad2d(x, ky, kx):
+    """(H, W) -> (H+2ky, W+2kx): x halos dateline-wrapped, y halos zero
+    (contents masked off by the range rules)."""
+    xp = jnp.concatenate([x[:, -kx:], x, x[:, :kx]], 1)
+    zr = jnp.zeros((ky, x.shape[1] + 2 * kx), x.dtype)
+    return jnp.concatenate([zr, xp, zr], 0)
+
+
+def _refresh_xwrap(xp, kx):
+    """Re-mirror the dateline halo columns after in-place interior updates."""
+    W = xp.shape[1] - 2 * kx
+    xp = jax.lax.dynamic_update_slice(xp, xp[:, W:W + kx], (0, 0))
+    xp = jax.lax.dynamic_update_slice(xp, xp[:, kx:2 * kx], (0, W + kx))
+    return xp
+
+
+def _pick_tiles(H: int, W: int):
+    ty = next((b for b in (128, 64, 32) if H % b == 0), 0)
+    tx = next((b for b in (512, 256, 128) if W % b == 0), 0)
+    return ty, tx
+
+
+@functools.partial(jax.jit, static_argnames=("grid", "k", "max_iters"))
+def flow_solve_pallas_2d(code, area2d, mouth, grid: Grid, k: int = 16,
+                         max_iters: int = 1 << 20):
+    """2D-tiled flow solve (see _kernel2d).  TPU-only (manual DMA)."""
+    H, W = grid.shape
+    HX = 128   # x-halo width: DMA lane slices need 128-aligned shape/offset
+    ty, tx = _pick_tiles(H, W)
+    assert ty and tx and grid.wrap_x and k <= min(ty, tx), (H, W, ty, tx, k)
+    assert k <= HX
+    nby, nbx = H // ty, W // tx
+
+    packed = pack_masks(code, mouth, grid)
+    ppad = _pad2d(packed, k, HX)
+    areapad = _pad2d(area2d, k, HX)
+
+    apad0 = _pad2d(area2d, k, HX)
+    vpad0 = _pad2d(jnp.where(mouth, 1.0, 0.0), k, HX)
+    flags0 = jnp.ones((nby * nbx,), jnp.int32)
+
+    fshape = jax.ShapeDtypeStruct((H + 2 * k, W + 2 * HX), jnp.float32)
+    call = pl.pallas_call(
+        functools.partial(_kernel2d, k, HX, ty, tx, nby, nbx),
+        grid=(nby, nbx),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(fshape, fshape,
+                   jax.ShapeDtypeStruct((nby * nbx,), jnp.int32)),
+        input_output_aliases={3: 0, 4: 1},  # apad -> aout, vpad -> vout
+        scratch_shapes=[
+            pltpu.VMEM((ty + 2 * k, tx + 2 * HX), jnp.float32),
+            pltpu.VMEM((ty + 2 * k, tx + 2 * HX), jnp.float32),
+            pltpu.VMEM((ty + 2 * k, tx + 2 * HX), jnp.int32),
+            pltpu.VMEM((ty + 2 * k, tx + 2 * HX), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+
+    def cond(carry):
+        _, _, flags, it = carry
+        return jnp.any(flags != 0) & (it < max_iters)
+
+    def body(carry):
+        apad, vpad, flags, it = carry
+        aout, vout, chg = call(flags, ppad, areapad, apad, vpad)
+        return (_refresh_xwrap(aout, HX), _refresh_xwrap(vout, HX), chg,
+                it + k)
+
+    apad, vpad, _, _ = jax.lax.while_loop(
+        cond, body, (apad0, vpad0, flags0, 0))
+    A = apad[k:-k, HX:-HX]
+    vis = vpad[k:-k, HX:-HX]
+    return A, vis > 0.5
+
+
 def _pick_band(H: int) -> int:
     for band in (128, 64, 32):
         if H % band == 0:
@@ -142,6 +288,12 @@ def _pick_band(H: int) -> int:
 
 def flow_solve_supported(grid: Grid) -> bool:
     return grid.wrap_x and _pick_band(grid.height) > 0
+
+
+def flow_solve_2d_supported(grid: Grid, k: int = 16) -> bool:
+    ty, tx = _pick_tiles(grid.height, grid.width)
+    return bool(grid.wrap_x and ty and tx and k <= min(ty, tx)
+                and grid.width // tx >= 2)
 
 
 @functools.partial(jax.jit, static_argnames=("grid", "k", "band",
