@@ -85,8 +85,15 @@ def _pad_zero_rows(x, k):
     return jnp.concatenate([z, x, z], 0)
 
 
-def _kernel(K, nbands, flags_ref, packed_ref, area_ref, a_ref, vis_ref,
-            aout_ref, vout_ref, chg_ref):
+def _kernel(K, band, nbands, flags_ref, ppad, areapad, apad, vpad,
+            aout, vout, chg_ref, avm, vvm, pvm, arvm, sem):
+    """Manual-DMA band kernel over padded (H+2K, W) carries.
+
+    aout/vout alias apad/vpad: a skipped band's state stays in place with
+    no copies at all, and later bands see earlier bands' same-round writes
+    (Gauss-Seidel ordering — same unique fixpoint, faster convergence).
+    The driver's while-loop body is a bare pallas_call: no per-round
+    pad/window reshuffles in HBM."""
     b = pl.program_id(0)
     left = flags_ref[jnp.maximum(b - 1, 0)]
     right = flags_ref[jnp.minimum(b + 1, nbands - 1)]
@@ -94,34 +101,59 @@ def _kernel(K, nbands, flags_ref, packed_ref, area_ref, a_ref, vis_ref,
 
     @pl.when(active)
     def _run():
-        A, vis = _sweep_body(K, packed_ref[0], area_ref[0],
-                             a_ref[0], vis_ref[0])
-        newA = A[K:-K, :]
-        newvis = vis[K:-K, :]
-        changed = (jnp.any(newA != a_ref[0, K:-K, :])
-                   | jnp.any(newvis != vis_ref[0, K:-K, :]))
-        aout_ref[0] = newA
-        vout_ref[0] = newvis
+        r0 = b * band
+        win = (pl.ds(r0, band + 2 * K), slice(None))
+        copies = [pltpu.make_async_copy(src.at[win], dst, sem.at[n])
+                  for n, (src, dst) in enumerate(
+                      ((apad, avm), (vpad, vvm), (ppad, pvm),
+                       (areapad, arvm)))]
+        for cp in copies:
+            cp.start()
+        for cp in copies:
+            cp.wait()
+        a0 = avm[...]
+        vis0 = vvm[...]
+        A, vis = _sweep_body(K, pvm[...], arvm[...], a0, vis0)
+        changed = (jnp.any(A[K:-K, :] != a0[K:-K, :])
+                   | jnp.any(vis[K:-K, :] != vis0[K:-K, :]))
+        avm[...] = A
+        vvm[...] = vis
+        interior = (pl.ds(K, band), slice(None))
+        out_at = (pl.ds(r0 + K, band), slice(None))
+        wcopies = [pltpu.make_async_copy(vm.at[interior], out.at[out_at],
+                                         sem.at[n])
+                   for n, (vm, out) in enumerate(((avm, aout), (vvm, vout)))]
+        for cp in wcopies:
+            cp.start()
+        for cp in wcopies:
+            cp.wait()
         chg_ref[b] = changed.astype(jnp.int32)
 
     @pl.when(jnp.logical_not(active))
     def _skip():
-        aout_ref[0] = a_ref[0, K:-K, :]
-        vout_ref[0] = vis_ref[0, K:-K, :]
         chg_ref[b] = 0
 
 
 def _sweep_body(K, packed, area, a0, vis0):
-    """K Jacobi sweeps of the (A, vis) relaxation on one padded block.
+    """Up to K Jacobi sweeps of the (A, vis) relaxation on one padded block,
+    with early exit: after sweep s, if every row in [s, rows-s) is
+    unchanged, nothing valid is left to propagate — halo ring i is only
+    valid for i sweeps, and rings shallower than s are already stale, so
+    their churn can never reach the kept interior (depth K > s).  Most
+    bands that run only because a neighbor was active converge in one
+    sweep and exit immediately, which is where the convergence tail's
+    wasted work lives.
 
     Shared by the 1D-banded and 2D-tiled kernels; all arrays have the same
-    padded shape.  Returns (A, vis) after K sweeps."""
+    padded shape.  Returns (A, vis) after <= K sweeps (fixpoint-identical
+    to running all K)."""
     rows, W = area.shape
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, W), 0)
 
-    def sweep(_, carry):
+    def sweep(carry):
         # masks are unpacked per use: precomputing all 17 boolean
         # fields materializes them as 32-bit vmasks -> scoped-vmem OOM
-        A, vis = carry
+        A, vis, s, _ = carry
         newA = area
         newvis = jnp.where((packed & (1 << 16)) != 0, 1.0, 0.0)
         for i, (dx, dy) in enumerate(_SCAN_ORDER):
@@ -133,11 +165,18 @@ def _sweep_body(K, packed, area, a0, vis0):
             newA = newA + jnp.where((packed & (1 << i)) != 0, Ad, 0.0)
             newvis = jnp.maximum(
                 newvis, jnp.where((packed & (1 << (8 + i))) != 0, vd, 0.0))
-        return newA, newvis
+        live = (row_iota >= s + 1) & (row_iota < rows - (s + 1))
+        done = jnp.logical_not(
+            jnp.any(live & ((newA != A) | (newvis != vis))))
+        return newA, newvis, s + 1, done
 
-    # fori_loop (not Python unroll): Mosaic keeps every unrolled sweep's
-    # rolled temporaries live on the VMEM stack -> scoped-vmem OOM
-    return jax.lax.fori_loop(0, K, sweep, (a0, vis0))
+    def cond(carry):
+        _, _, s, done = carry
+        return (s < K) & jnp.logical_not(done)
+
+    A, vis, _, _ = jax.lax.while_loop(
+        cond, sweep, (a0, vis0, jnp.int32(0), jnp.asarray(False)))
+    return A, vis
 
 
 def _kernel2d(K, HX, ty, tx, nby, nbx, flags_ref, ppad, areapad, apad, vpad,
@@ -310,48 +349,49 @@ def flow_solve_pallas(code, area2d, mouth, grid: Grid, k: int = 16,
     nbands = H // band
 
     packed = pack_masks(code, mouth, grid)
-    pw = _windows(_pad_zero_rows(packed, k), band, k, nbands)
-    aw = _windows(_pad_zero_rows(area2d, k), band, k, nbands)
+    ppad = _pad_zero_rows(packed, k)
+    areapad = _pad_zero_rows(area2d, k)
+    apad0 = _pad_zero_rows(area2d, k)
+    vpad0 = _pad_zero_rows(jnp.where(mouth, 1.0, 0.0), k)
+    flags0 = jnp.ones((nbands,), jnp.int32)
 
-    pad_spec = pl.BlockSpec((1, band + 2 * k, W), lambda i: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, band, W), lambda i: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
-    flags_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    # chg is one shared (nbands,) SMEM vector: each (sequential) grid
-    # step writes its own slot — rank-1 SMEM outputs cannot be blocked
-    chg_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-
+    fshape = jax.ShapeDtypeStruct((H + 2 * k, W), jnp.float32)
     call = pl.pallas_call(
-        functools.partial(_kernel, k, nbands),
+        functools.partial(_kernel, k, band, nbands),
         grid=(nbands,),
-        in_specs=[flags_spec] + [pad_spec] * 4,
-        out_specs=(out_spec, out_spec, chg_spec),
-        out_shape=(jax.ShapeDtypeStruct((nbands, band, W), jnp.float32),
-                   jax.ShapeDtypeStruct((nbands, band, W), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec(memory_space=pltpu.ANY),
+                   # chg is one shared (nbands,) SMEM vector: each
+                   # (sequential) grid step writes its own slot
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(fshape, fshape,
                    jax.ShapeDtypeStruct((nbands,), jnp.int32)),
-        # the sweep's live set (~20MB at band=128, k=16) exceeds the 16MB
-        # default scoped-vmem budget; v5e has 128MB of VMEM
+        input_output_aliases={3: 0, 4: 1},  # apad -> aout, vpad -> vout
+        scratch_shapes=[
+            pltpu.VMEM((band + 2 * k, W), jnp.float32),
+            pltpu.VMEM((band + 2 * k, W), jnp.float32),
+            pltpu.VMEM((band + 2 * k, W), jnp.int32),
+            pltpu.VMEM((band + 2 * k, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        # the sweep's live set exceeds the 16MB default scoped-vmem
+        # budget at band=128, k=16; v5e has 128MB of VMEM
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
-
-    A0 = area2d
-    vis0 = jnp.where(mouth, 1.0, 0.0)
-    flags0 = jnp.ones((nbands,), jnp.int32)
 
     def cond(carry):
         _, _, flags, it = carry
         return jnp.any(flags != 0) & (it < max_iters)
 
     def body(carry):
-        A, vis, flags, it = carry
-        Aw = _windows(_pad_zero_rows(A, k), band, k, nbands)
-        vw = _windows(_pad_zero_rows(vis, k), band, k, nbands)
-        Ao, vo, chg = call(flags, pw, aw, Aw, vw)
-        return Ao.reshape(H, W), vo.reshape(H, W), chg, it + k
+        apad, vpad, flags, it = carry
+        aout, vout, chg = call(flags, ppad, areapad, apad, vpad)
+        return aout, vout, chg, it + k
 
-    A, vis, _, _ = jax.lax.while_loop(
-        cond, body, (A0, vis0, flags0, 0))
-    return A, vis > 0.5
+    apad, vpad, _, _ = jax.lax.while_loop(
+        cond, body, (apad0, vpad0, flags0, 0))
+    return apad[k:-k], vpad[k:-k] > 0.5
