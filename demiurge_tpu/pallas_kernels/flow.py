@@ -319,7 +319,9 @@ def flow_solve_pallas_2d(code, area2d, mouth, grid: Grid, k: int = 16,
 
 
 def _pick_band(H: int) -> int:
-    for band in (128, 64, 32):
+    # 64 beats 128: the convergence tail pays per-window pixels, and the
+    # early-exit already keeps dragged-in neighbor bands cheap
+    for band in (64, 128, 32):
         if H % band == 0:
             return band
     return 0
