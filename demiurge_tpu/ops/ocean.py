@@ -327,6 +327,15 @@ def _neighbor_vec(u, v, dx, dy, grid: Grid):
 
 def diffusion(u, v, terrain, grid: Grid, cfg: OceanConfig):
     """Implicit-viscosity Jacobi sweeps (OceanCurrents.cpp:625-708)."""
+    if (not cfg.exact_quirks and jax.default_backend() == "tpu"
+            and jax.device_count() == 1):
+        from ..pallas_kernels.jacobi import (diffusion_solve_pallas,
+                                             diffusion_supported)
+
+        if diffusion_supported(grid, cfg.diffusion_iters):
+            return diffusion_solve_pallas(u, v, terrain, grid,
+                                          iters=cfg.diffusion_iters)
+
     dxr, dyr = grid.pixelsize_rows()
     wx = (420.0 / dxr) ** 2          # 1/pow(pixelsize,2)*420^2  (H,1)
     wy = (420.0 / dyr) ** 2          # scalar

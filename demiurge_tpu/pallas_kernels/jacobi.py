@@ -83,17 +83,20 @@ def _pole_halo(x, k, grid: Grid, south: bool):
     return jnp.roll(jnp.flip(x[-k:, :], 0), -W // 2, 1)
 
 
-def _pad_rows(x, k, grid: Grid):
+def _pad_rows(x, k, grid: Grid, negate: bool = False):
     """K halo rows at each end: pole-reflected antipodal rows on global
     grids, edge copies otherwise (contents irrelevant there after the
-    clamp fold)."""
+    clamp fold).  ``negate`` flips the sign of the pole halos — velocity
+    components reverse when the geodesic walk crosses a pole
+    (OceanCurrents.cpp:389/657)."""
     H, W = x.shape
+    sgn = -1.0 if negate else 1.0
     if grid.wrap_south and grid.wrap_x:
-        south = _pole_halo(x, k, grid, True)
+        south = sgn * _pole_halo(x, k, grid, True)
     else:
         south = jnp.broadcast_to(x[:1, :], (k, W))
     if grid.wrap_north and grid.wrap_x:
-        north = _pole_halo(x, k, grid, False)
+        north = sgn * _pole_halo(x, k, grid, False)
     else:
         north = jnp.broadcast_to(x[-1:, :], (k, W))
     return jnp.concatenate([south, x, north], 0)
@@ -184,3 +187,81 @@ def pressure_solve_pallas(divw, terrain, grid: Grid, iters: int = 5000,
 
     p, _ = jax.lax.scan(round_fn, p, None, length=n_rounds)
     return p
+
+
+# ---------------------------------------------------------------------------
+# implicit-viscosity diffusion — the same banded 5-point sweep with b = 0
+# ---------------------------------------------------------------------------
+
+
+def _diffusion_coefficients(terrain, grid: Grid):
+    """Fold the viscosity sweep (ops.ocean.diffusion, OceanCurrents.cpp:
+    625-708) into 5-point coefficients: newu = cN uN + ... + cC u, with
+    obstacle-masked neighbor weights redirected onto the center."""
+    dxr, dyr = grid.pixelsize_rows()
+    wx = jnp.broadcast_to((420.0 / dxr) ** 2, grid.shape)
+    wy = jnp.broadcast_to((420.0 / dyr) ** 2 * jnp.ones_like(dxr), grid.shape)
+    beta = 2 * (wx + wy) * (1 + 1 / (2 * (wx + wy)))
+
+    oN = (shift(terrain, 0, 1, grid) > 0).astype(jnp.float32)
+    oS = (shift(terrain, 0, -1, grid) > 0).astype(jnp.float32)
+    oE = (shift(terrain, 1, 0, grid) > 0).astype(jnp.float32)
+    oW = (shift(terrain, -1, 0, grid) > 0).astype(jnp.float32)
+
+    cN = (1 - oN) * wy / beta
+    cS = (1 - oS) * wy / beta
+    cE = (1 - oE) * wx / beta
+    cW = (1 - oW) * wx / beta
+    cC = (1 + (oN + oS) * wy + (oE + oW) * wx) / beta
+    return cN, cS, cE, cW, cC
+
+
+def diffusion_supported(grid: Grid, iters: int, k: int = 10,
+                        band: int = 128) -> bool:
+    return bool(grid.wrap_x and grid.wrap_south and grid.wrap_north
+                and grid.height % band == 0 and iters % k == 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("grid", "iters", "k", "band",
+                                    "interpret"))
+def diffusion_solve_pallas(u, v, terrain, grid: Grid, iters: int = 50,
+                           k: int = 10, band: int = 128,
+                           interpret: bool = False):
+    """Drop-in for ops.ocean.diffusion (intent mode, full-globe grids):
+    K sweeps per HBM round trip; velocity pole halos are sign-flipped and
+    the N/S coefficients swapped there (crossing a pole reverses both the
+    walk direction and the vector).  Same sweep count and masks as the XLA
+    scan; f32 reassociation-level differences only."""
+    H, W = grid.shape
+    assert diffusion_supported(grid, iters, k, band), (grid.shape, iters)
+    cN, cS, cE, cW, cC = _diffusion_coefficients(terrain, grid)
+    zero_b = jnp.zeros(grid.shape, jnp.float32)
+    pcN, pcS, others = _pad_coeff(cN, cS, (cE, cW, cC, zero_b), k, grid)
+    nbands = H // band
+    coeff_windows = [_windows(c, band, k, nbands)
+                     for c in [pcN, pcS] + others]
+
+    blk = (1, band + 2 * k, W)
+    spec = pl.BlockSpec(blk, lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, band, W), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        functools.partial(_kernel, k),
+        grid=(nbands,),
+        in_specs=[spec] * 7,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((nbands, band, W), jnp.float32),
+        interpret=interpret,
+    )
+
+    def round_fn(carry, _):
+        u, v = carry
+        uw = _windows(_pad_rows(u, k, grid, negate=True), band, k, nbands)
+        vw = _windows(_pad_rows(v, k, grid, negate=True), band, k, nbands)
+        nu = call(uw, *coeff_windows).reshape(H, W)
+        nv = call(vw, *coeff_windows).reshape(H, W)
+        return (nu, nv), None
+
+    (u, v), _ = jax.lax.scan(round_fn, (u, v), None, length=iters // k)
+    return u, v

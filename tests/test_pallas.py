@@ -116,3 +116,20 @@ def test_pressure_method_auto_dispatch():
     div = ocean.divergence(u, v, h, grid, cfg)
     p = ocean.pressure_solve(div, h, grid, cfg)
     assert bool(jnp.isfinite(p).all())
+
+
+def test_diffusion_pallas_interpret_matches_xla():
+    """The banded viscosity kernel (sign-flipped pole halos, N/S coefficient
+    swap) must match the XLA scan after the same number of sweeps."""
+    from demiurge_tpu.pallas_kernels import jacobi
+
+    grid, h, u, v = _setup(256, 128)
+    cfg = OceanConfig(diffusion_iters=20)
+    xu, xv = ocean.diffusion(u, v, h, grid, cfg)
+    pu, pv = jacobi.diffusion_solve_pallas(u, v, h, grid, iters=20, k=10,
+                                           band=64, interpret=True)
+    scale = float(jnp.abs(xu).max()) + 1e-30
+    np.testing.assert_allclose(np.asarray(pu) / scale,
+                               np.asarray(xu) / scale, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(pv) / scale,
+                               np.asarray(xv) / scale, atol=2e-5)
