@@ -30,7 +30,47 @@ def main():
     ap.add_argument("--base-height", type=int, default=512)
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--jacobi", type=int, default=200)
+    ap.add_argument("--one", type=int, default=0,
+                    help="run a single mesh size (used by the subprocess "
+                         "isolation below)")
     args = ap.parse_args()
+
+    if not args.one:
+        # one subprocess per mesh size: on oversubscribed CPU hosts XLA's
+        # collective rendezvous can hard-abort (40s timeout) — isolate so
+        # one abort doesn't kill the sweep
+        import subprocess
+
+        import jax as _jax
+        if os.environ.get("JAX_PLATFORMS"):
+            _jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        ndev = len(_jax.devices())
+        base = None
+        for n in (1, 2, 4, 8, 16, 32):
+            if n > ndev:
+                break
+            cmd = [sys.executable, os.path.abspath(__file__), "--one", str(n),
+                   "--base-width", str(args.base_width),
+                   "--base-height", str(args.base_height),
+                   "--steps", str(args.steps), "--jacobi", str(args.jacobi)]
+            if not args.weak:
+                cmd.append("--strong")
+            r = subprocess.run(cmd, capture_output=True, text=True)
+            rec = None
+            for line in (r.stdout or "").splitlines():
+                if line.startswith("{"):
+                    rec = json.loads(line)
+            if rec is None:
+                print(json.dumps({"devices": n, "error":
+                                  f"subprocess rc={r.returncode}"}),
+                      flush=True)
+                continue
+            if n == 1:
+                base = rec["per_device"]
+            if base:
+                rec["efficiency_vs_1"] = round(rec["per_device"] / base, 4)
+            print(json.dumps(rec), flush=True)
+        return
 
     import jax
 
@@ -48,8 +88,7 @@ def main():
     from demiurge_tpu.ops.noise import NoiseParams, fbm
     from demiurge_tpu.ops.ocean import OceanConfig
 
-    ndev = len(jax.devices())
-    sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= ndev]
+    sizes = [args.one]
     base = None
 
     for n in sizes:
