@@ -105,6 +105,8 @@ def advect_sample_pallas(u, v, dx, dy, Rx: int = 8, Ry: int = 2,
         out_specs=(spec, spec),
         out_shape=(jax.ShapeDtypeStruct((nbands, band, W), jnp.float32),
                    jax.ShapeDtypeStruct((nbands, band, W), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(uw, vw, dxw, dyw)
     return ou.reshape(H, W), ov.reshape(H, W)

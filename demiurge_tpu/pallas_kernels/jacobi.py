@@ -175,6 +175,8 @@ def pressure_solve_pallas(divw, terrain, grid: Grid, iters: int = 5000,
         in_specs=[spec] * 7,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((nbands, band, W), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
 
@@ -252,6 +254,8 @@ def diffusion_solve_pallas(u, v, terrain, grid: Grid, iters: int = 50,
         in_specs=[spec] * 7,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((nbands, band, W), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
 
