@@ -634,17 +634,13 @@ def flow_filter_device(height, sel, grid: Grid, exponent: float = 0.5,
     area = cell_area_lower_edge(grid)
 
     if jax.default_backend() == "tpu" and jax.device_count() == 1:
-        from ..pallas_kernels.flow import (flow_solve_2d_supported,
-                                           flow_solve_pallas,
-                                           flow_solve_pallas_2d,
+        from ..pallas_kernels.flow import (flow_solve_pallas,
                                            flow_solve_supported)
 
-        # 2D tiling only pays off once the frontier is much smaller than
-        # the grid (~4096 wide and up); below that the per-tile DMA
-        # overhead loses to the 1D bands
-        if grid.width >= 4096 and flow_solve_2d_supported(grid):
-            acc, vis = flow_solve_pallas_2d(code, area, mouth, grid)
-            return jnp.where(vis, jnp.power(acc, exponent), -1.0)
+        # the 1D banded kernel beats the 2D-tiled variant at every size
+        # measured (2048..4096 wide): with in-kernel early exit the 2D
+        # tiles' extra DMA latency costs more than their narrower windows
+        # save (flow_solve_pallas_2d remains available for experiments)
         if flow_solve_supported(grid):
             acc, vis = flow_solve_pallas(code, area, mouth, grid)
             return jnp.where(vis, jnp.power(acc, exponent), -1.0)
