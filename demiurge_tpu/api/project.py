@@ -377,11 +377,16 @@ class Project:
     # ---- rendering ----------------------------------------------------------
 
     def render(self, layers=None, projection: str = "equirectangular",
-               out_w: int = 800, out_h: int = 400, **canvas_kw):
-        """Appearance chain + projection -> (out_h, out_w, 4) RGBA."""
+               out_w: int = 800, out_h: int = 400, uv=None, **canvas_kw):
+        """Appearance chain + projection -> (out_h, out_w, 4) RGBA.
+
+        ``uv`` feeds VectorField layers (defaults to the session's ocean
+        velocity when present)."""
         from ..viz import CanvasParams, appearance, project_field
 
-        rgba = appearance.render(self.terrain, self.grid, layers)
+        if uv is None:
+            uv = getattr(self, "ocean_uv", None)
+        rgba = appearance.render(self.terrain, self.grid, layers, uv=uv)
         params = CanvasParams(projection=projection, **canvas_kw)
         chans = []
         for c in range(4):
