@@ -194,8 +194,12 @@ class Project:
         self._apply_terrain(new)
 
     def blur(self, radius: float):
+        """Gaussian blur, blended by the *fractional* selection — the
+        restoreUnselected weighted blend (Filter.cpp:51-68:
+        ``fc = s*new + (1-s)*backup``), so soft-edged (blurred) selections
+        feather the result instead of gating at sel>0."""
         full = blur.blur(self.terrain, self.grid, radius)
-        new = jnp.where(self.sel > 0, full, self.terrain)
+        new = self.sel * full + (1.0 - self.sel) * self.terrain
         self._apply_terrain(new)
 
     def offset(self, value: float):

@@ -108,6 +108,15 @@ def temperature_step(T, terrain, i0, grid: Grid, substeps: int = 10,
 
     Returns (T_new, i0 + substeps).
     """
+    if jax.default_backend() == "tpu" and jax.device_count() == 1:
+        from ..pallas_kernels.climate import (climate_step_pallas,
+                                              climate_supported)
+
+        if climate_supported(grid) and substeps <= 128:
+            return climate_step_pallas(T, terrain, i0, grid,
+                                       substeps=substeps, albedo=albedo,
+                                       diffusivity=diffusivity)
+
     def body(carry, _):
         T, i = carry
         M = 2.0 * PI / SUBSTEPS_PER_YEAR * i

@@ -134,7 +134,7 @@ def _kernel(K, band, nbands, flags_ref, ppad, areapad, apad, vpad,
         chg_ref[b] = 0
 
 
-def _sweep_body(K, packed, area, a0, vis0):
+def _sweep_body(K, packed, area, a0, vis0, shrink_x: bool = False):
     """Up to K Jacobi sweeps of the (A, vis) relaxation on one padded block,
     with early exit: after sweep s, if every row in [s, rows-s) is
     unchanged, nothing valid is left to propagate — halo ring i is only
@@ -144,11 +144,16 @@ def _sweep_body(K, packed, area, a0, vis0):
     sweep and exit immediately, which is where the convergence tail's
     wasted work lives.
 
-    Shared by the 1D-banded and 2D-tiled kernels; all arrays have the same
-    padded shape.  Returns (A, vis) after <= K sweeps (fixpoint-identical
-    to running all K)."""
+    ``shrink_x`` applies the same stale-ring logic to columns — for
+    non-periodic narrow windows whose x edges wrap garbage (the done test
+    then ignores the outer s+1 columns).
+
+    Shared by the banded kernels; all arrays have the same padded shape.
+    Returns (A, vis) after <= K sweeps (fixpoint-identical to running
+    all K)."""
     rows, W = area.shape
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, W), 0)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, W), 1)
 
     def sweep(carry):
         # masks are unpacked per use: precomputing all 17 boolean
@@ -166,6 +171,8 @@ def _sweep_body(K, packed, area, a0, vis0):
             newvis = jnp.maximum(
                 newvis, jnp.where((packed & (1 << (8 + i))) != 0, vd, 0.0))
         live = (row_iota >= s + 1) & (row_iota < rows - (s + 1))
+        if shrink_x:
+            live = live & (col_iota >= s + 1) & (col_iota < W - (s + 1))
         done = jnp.logical_not(
             jnp.any(live & ((newA != A) | (newvis != vis))))
         return newA, newvis, s + 1, done
@@ -316,6 +323,203 @@ def flow_solve_pallas_2d(code, area2d, mouth, grid: Grid, k: int = 16,
     A = apad[k:-k, HX:-HX]
     vis = vpad[k:-k, HX:-HX]
     return A, vis > 0.5
+
+
+def _change_range(ch):
+    """(lo, hi) column range of a 2D change mask; (BIG, -1) when empty."""
+    rows, w = ch.shape
+    ci = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1)
+    lo = jnp.min(jnp.where(ch, ci, jnp.int32(1 << 30)))
+    hi = jnp.max(jnp.where(ch, ci, jnp.int32(-1)))
+    return lo, hi
+
+
+def _kernel_fused(K, band, nbands, W, NW, max_rounds, ppad, areapad,
+                  apad, vpad, aout, vout, it_ref,
+                  avm, vvm, pvm, arvm, anv, vnv, pnv, arnv, sem,
+                  plo, phi_, clo, chi_):
+    """Whole solve in ONE kernel launch: the round loop, per-band active
+    skipping, the convergence test, AND active-column tracking all run
+    on-core.
+
+    Two workload reducers on top of the banded relaxation:
+
+    - **Active-range skipping** (SMEM ``plo/phi_`` per band): a band runs
+      only if the merged change range of itself and its row neighbors from
+      the previous round is nonempty (change moves <= K <= band rows per
+      round).  Rounds walk the bands serpentine (even rounds south->north,
+      odd reversed): Gauss-Seidel in both directions, so drainage running
+      against the band order still moves multiple bands per round.
+    - **Narrow windows**: the convergence tail is a handful of long rivers
+      whose frontier spans ~K columns; when the merged range (padded by K
+      propagation + M=128 DMA-alignment margin each side) fits in an
+      NW-column window away from the dateline seam, the band is DMA'd,
+      swept, and written back through that window — per-sweep cost drops
+      by W/NW (4x at 2048).  A range touching the seam falls back to full
+      width (the narrow window is not x-periodic).
+
+    Correctness of the margins: A and vis are monotone nondecreasing under
+    the sweep (sums/ORs of nonnegative contributions from below the
+    fixpoint), so the final-vs-start change mask captures every cell that
+    moved, and a cell can only move if an input within K columns moved
+    last round.  aout/vout alias apad/vpad: the padded carries in HBM are
+    read and written in place, later bands seeing earlier bands' same-
+    round writes.
+    """
+    i32 = jnp.int32
+    M = 128           # DMA lane-alignment margin (writeback offsets)
+    BIG = 1 << 30
+
+    for b in range(nbands):
+        plo[b] = 0
+        phi_[b] = W - 1
+
+    def dma(copies):
+        for cp in copies:
+            cp.start()
+        for cp in copies:
+            cp.wait()
+
+    def run_full(b, *_):
+        r0 = b * band
+        win = (pl.ds(r0, band + 2 * K), slice(None))
+        dma([pltpu.make_async_copy(src.at[win], dst, sem.at[n])
+             for n, (src, dst) in enumerate(
+                 ((aout, avm), (vout, vvm), (ppad, pvm), (areapad, arvm)))])
+        a0 = avm[...]
+        vis0 = vvm[...]
+        A, vis = _sweep_body(K, pvm[...], arvm[...], a0, vis0)
+        ch = ((A != a0) | (vis != vis0))[K:-K, :]
+        avm[...] = A
+        vvm[...] = vis
+        interior = (pl.ds(K, band), slice(None))
+        out_at = (pl.ds(r0 + K, band), slice(None))
+        dma([pltpu.make_async_copy(vm.at[interior], out.at[out_at],
+                                   sem.at[n])
+             for n, (vm, out) in enumerate(((avm, aout), (vvm, vout)))])
+        return _change_range(ch)
+
+    def run_narrow(b, o):
+        r0 = b * band
+        o = pl.multiple_of(o, 128)  # Mosaic can't infer the alignment
+        win = (pl.ds(r0, band + 2 * K), pl.ds(o, NW))
+        dma([pltpu.make_async_copy(src.at[win], dst, sem.at[n])
+             for n, (src, dst) in enumerate(
+                 ((aout, anv), (vout, vnv), (ppad, pnv), (areapad, arnv)))])
+        a0 = anv[...]
+        vis0 = vnv[...]
+        A, vis = _sweep_body(K, pnv[...], arnv[...], a0, vis0,
+                             shrink_x=True)
+        ch = ((A != a0) | (vis != vis0))[K:-K, M:NW - M]
+        anv[...] = A
+        vnv[...] = vis
+        interior = (pl.ds(K, band), pl.ds(M, NW - 2 * M))
+        out_at = (pl.ds(r0 + K, band), pl.ds(o + M, NW - 2 * M))
+        dma([pltpu.make_async_copy(vm.at[interior], out.at[out_at],
+                                   sem.at[n])
+             for n, (vm, out) in enumerate(((anv, aout), (vnv, vout)))])
+        lo, hi = _change_range(ch)
+        return jnp.where(hi >= 0, lo + o + M, BIG), \
+            jnp.where(hi >= 0, hi + o + M, -1)
+
+    def band_step(i, carry):
+        rnd, anyhi = carry
+        b = jnp.where(rnd % 2 == 0, i, nbands - 1 - i)
+        bl = jnp.maximum(b - 1, 0)
+        br = jnp.minimum(b + 1, nbands - 1)
+        rlo = jnp.minimum(jnp.minimum(plo[bl], plo[b]), plo[br])
+        rhi = jnp.maximum(jnp.maximum(phi_[bl], phi_[b]), phi_[br])
+        active = rhi >= 0
+
+        # narrow window [o, o+NW): changeable cells [rlo-K, rhi+K] must sit
+        # inside the aligned writeback region [o+M, o+NW-M)
+        if W > NW:  # narrow path statically possible
+            o = jnp.maximum((rlo - K - M) // M * M, 0)
+            narrow = active & (rlo - K - M >= 0) & (o + NW <= W) \
+                & (rhi + K < o + NW - M)
+            run = lambda b, o, narrow: jax.lax.cond(  # noqa: E731
+                narrow, run_narrow, run_full, b, o)
+        else:
+            o = jnp.int32(0)
+            narrow = jnp.asarray(False)
+            run = lambda b, o, narrow: run_full(b, o)  # noqa: E731
+
+        lo, hi = jax.lax.cond(
+            active, run,
+            lambda b, o, narrow: (i32(BIG), i32(-1)),
+            b, o, narrow)
+        clo[b] = lo
+        chi_[b] = hi
+        return rnd, jnp.maximum(anyhi, hi)
+
+    def round_body(carry):
+        rnd, _ = carry
+        _, anyhi = jax.lax.fori_loop(0, nbands, band_step, (rnd, i32(-1)))
+        for b in range(nbands):
+            plo[b] = clo[b]
+            phi_[b] = chi_[b]
+        return rnd + 1, anyhi
+
+    def round_cond(carry):
+        rnd, anyhi = carry
+        return (anyhi >= 0) & (rnd < max_rounds)
+
+    rnd, _ = jax.lax.while_loop(round_cond, round_body, (i32(0), i32(0)))
+    it_ref[0] = rnd
+
+
+@functools.partial(jax.jit, static_argnames=("grid", "k", "band", "narrow",
+                                             "max_rounds", "interpret"))
+def flow_solve_fused(code, area2d, mouth, grid: Grid, k: int = 16,
+                     band: int = 0, narrow: int = 512,
+                     max_rounds: int = 1 << 16,
+                     interpret: bool = False):
+    """Drop-in for flow_solve_pallas with the round loop fused on-core and
+    narrow-window tail tracking (see _kernel_fused).  Returns (A, vis)."""
+    H, W = grid.shape
+    band = band or _pick_band(H)
+    assert band > 0 and H % band == 0 and grid.wrap_x, (grid.shape, band)
+    assert k <= band, (k, band)
+    assert narrow % 128 == 0 and narrow >= 384, narrow
+    nbands = H // band
+
+    packed = pack_masks(code, mouth, grid)
+    ppad = _pad_zero_rows(packed, k)
+    areapad = _pad_zero_rows(area2d, k)
+    apad0 = _pad_zero_rows(area2d, k)
+    vpad0 = _pad_zero_rows(jnp.where(mouth, 1.0, 0.0), k)
+
+    fshape = jax.ShapeDtypeStruct((H + 2 * k, W), jnp.float32)
+    apad, vpad, _ = pl.pallas_call(
+        functools.partial(_kernel_fused, k, band, nbands, W, narrow,
+                          max_rounds),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(fshape, fshape,
+                   jax.ShapeDtypeStruct((1,), jnp.int32)),
+        input_output_aliases={2: 0, 3: 1},  # apad -> aout, vpad -> vout
+        scratch_shapes=[
+            pltpu.VMEM((band + 2 * k, W), jnp.float32),
+            pltpu.VMEM((band + 2 * k, W), jnp.float32),
+            pltpu.VMEM((band + 2 * k, W), jnp.int32),
+            pltpu.VMEM((band + 2 * k, W), jnp.float32),
+            pltpu.VMEM((band + 2 * k, narrow), jnp.float32),
+            pltpu.VMEM((band + 2 * k, narrow), jnp.float32),
+            pltpu.VMEM((band + 2 * k, narrow), jnp.int32),
+            pltpu.VMEM((band + 2 * k, narrow), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SMEM((nbands,), jnp.int32),
+            pltpu.SMEM((nbands,), jnp.int32),
+            pltpu.SMEM((nbands,), jnp.int32),
+            pltpu.SMEM((nbands,), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(ppad, areapad, apad0, vpad0)
+    return apad[k:-k], vpad[k:-k] > 0.5
 
 
 def _pick_band(H: int) -> int:

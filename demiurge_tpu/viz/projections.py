@@ -188,9 +188,43 @@ PROJECTIONS = {
     "mercator": Projection("mercator", _mercator, (PI, PI), (1.0, 0.5)),
     "orthographic": Projection("orthographic", _orthographic,
                                (1.2, 1.2), (1.0, 1.0)),
-    # aspect-true flat view of the raw texture (img.cpp:14-148)
-    "img": Projection("img", _equirectangular, (PI, PI / 2), (1.0, 0.5)),
+    # aspect-true flat view of the raw texture (img.cpp:14-148) — its own
+    # screen->tex mapping (perspective-projected quad), see _img_screen_to_tex
+    "img": Projection("img", None, (1.0, 1.0), (1.0, 1.0)),
 }
+
+
+# ---------------------------------------------------------------------------
+# img flat view (img.cpp:14-148)
+# ---------------------------------------------------------------------------
+
+#: camera constants of the img canvas (img.cpp:38-43)
+_IMG_FOVY = math.radians(60.0)
+_IMG_TANFOV = math.tan(_IMG_FOVY * 0.5)
+_IMG_ZOOM_BASE = 1.1
+
+
+def _img_screen_to_tex(params: "CanvasParams", grid: Grid, nx, ny):
+    """The raw-texture quad view: an aspect-true quad (half-extents
+    (W/H, 1)) at distance ZOOM^z from a 60-degree-FOV perspective camera,
+    panned by (x, y) clamped to the quad (img.cpp:14-43, 71-107).
+
+    ``params.zoom`` is the camera distance (ZOOM^z; img.cpp z=0 start ->
+    1.0); ``params.offset`` is the (x, y) pan in quad units.  nx/ny are
+    y-up NDC coords.  Texture t=0 maps to the TOP of the quad
+    (img.cpp:23-28) — the raw-texture view is vertically flipped relative
+    to the equirectangular canvas, exactly like the reference.
+    """
+    aspect = grid.width / grid.height
+    d = params.zoom
+    px = min(max(params.offset[0], -aspect), aspect)   # pan clamp (72-79)
+    py = min(max(params.offset[1], -1.0), 1.0)
+    qx = nx * _IMG_TANFOV * params.window_aspect * d - px
+    qy = ny * _IMG_TANFOV * d - py
+    s = (qx + aspect) / (2 * aspect)
+    t = (1.0 - qy) / 2.0
+    oob = (s < 0) | (s > 1) | (t < 0) | (t > 1)
+    return s, t, oob
 
 
 # ---------------------------------------------------------------------------
@@ -222,6 +256,77 @@ class CanvasParams:
     #: bounds has one more entry than centers.  None = uninterrupted.
     interruptions: Optional[Tuple[Tuple[float, ...], Tuple[float, ...],
                                   Tuple[float, ...], Tuple[float, ...]]] = None
+    #: orthographic globe rotation state (delta_theta, delta_phi) — the
+    #: reference Orthographic canvas's Rz(theta)*Rx(phi) drag rotation
+    #: (Orthographic.cpp:71-96).  None = use the generic path.
+    ortho_state: Optional[Tuple[float, float]] = None
+
+
+# ---------------------------------------------------------------------------
+# orthographic globe canvas (Orthographic.cpp) — sphere pick + drag rotate
+# ---------------------------------------------------------------------------
+
+
+def _ortho_globe_screen_to_tex(params: CanvasParams, grid: Grid, x, y):
+    """The reference orthographic projection shader
+    (Orthographic.cpp:122-169): sphere pick (x, y, sqrt(1-r^2)) rotated by
+    Rz(delta_theta) @ Rx(delta_phi), then mapped to tex coords with the
+    theta-pi offset normalization.  x/y are plane coords (already scaled by
+    zoom and aspect)."""
+    dt, dp = params.ortho_state
+    r = jnp.sqrt(x * x + y * y)
+    z = jnp.sqrt(jnp.maximum(1.0 - r * r, 0.0))
+    # glm: Rz(dt) @ Rx(dp) applied to (x, y, z)
+    cdt, sdt = math.cos(dt), math.sin(dt)
+    cdp, sdp = math.cos(dp), math.sin(dp)
+    # Rx(dp): (x, c y - s z, s y + c z); then Rz(dt)
+    ry = cdp * y - sdp * z
+    rz = sdp * y + cdp * z
+    cx = cdt * x - sdt * ry
+    cy = sdt * x + cdt * ry
+    phi = jnp.arcsin(jnp.clip(rz, -1.0, 1.0))      # -asin(-coord.z)
+    theta = jnp.arctan2(cy, cx)
+    t = (phi - grid.phi0) / (grid.phi1 - grid.phi0)
+    s = (jnp.mod(theta, 2 * PI) - grid.lam0 - PI) / (grid.lam1 - grid.lam0)
+    oob = (r > 1.0) | (t < 0) | (t > 1) | (s < 0) | (s > 1)
+    return s, t, oob
+
+
+def orthographic_mouse_pos(params: CanvasParams, grid: Grid,
+                           sx: float, sy: float):
+    """Screen point -> tex coords on the globe (Orthographic.cpp:98-120's
+    mousePos, using the shader's y-up convention).  Returns (s, t) or None
+    beyond the sphere rim."""
+    x = 2.0 * (sx - 0.5) * params.zoom
+    y = 2.0 * (sy - 0.5) / params.window_aspect * params.zoom
+    s, t, oob = _ortho_globe_screen_to_tex(params, grid,
+                                           jnp.float32(x), jnp.float32(y))
+    if bool(oob):
+        return None
+    return float(s), float(t)
+
+
+def orthographic_drag(params: CanvasParams, grid: Grid,
+                      p0: Tuple[float, float],
+                      p1: Tuple[float, float]) -> CanvasParams:
+    """Drag-to-rotate (Orthographic.cpp:71-96): the tex-coord displacement
+    between the screen points maps to rotation deltas —
+    delta_phi += dt * (phi1 - phi0), delta_theta -= ds * (lam1 - lam0),
+    delta_phi clamped to [0, pi].  Returns the updated params
+    (functional; the reference mutates canvas state per mouse delta)."""
+    if params.ortho_state is None:
+        params = dataclasses.replace(params, ortho_state=(0.0, math.pi / 2))
+    a = orthographic_mouse_pos(params, grid, *p1)
+    b = orthographic_mouse_pos(params, grid, *p0)
+    if a is None or b is None:
+        return params
+    ds = a[0] - b[0]
+    dt_ = a[1] - b[1]
+    theta, phi = params.ortho_state
+    phi += dt_ * (grid.phi1 - grid.phi0)
+    theta -= ds * (grid.lam1 - grid.lam0)
+    phi = min(max(phi, 0.0), math.pi)
+    return dataclasses.replace(params, ortho_state=(theta, phi))
 
 
 def screen_to_tex(params: CanvasParams, grid: Grid, out_w: int, out_h: int):
@@ -235,6 +340,14 @@ def screen_to_tex(params: CanvasParams, grid: Grid, out_w: int, out_h: int):
     sx = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) / out_w
     sy = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) / out_h
     stx, sty = jnp.meshgrid(sx, sy)
+
+    if params.projection == "img":
+        return _img_screen_to_tex(params, grid, 2.0 * (stx - 0.5),
+                                  2.0 * (sty - 0.5))
+    if params.projection == "orthographic" and params.ortho_state is not None:
+        x = 2.0 * (stx - 0.5) * params.zoom
+        y = 2.0 * (sty - 0.5) / params.window_aspect * params.zoom
+        return _ortho_globe_screen_to_tex(params, grid, x, y)
 
     x = 2.0 * (stx - 0.5) * params.zoom + params.offset[0]
     y = 2.0 * (sty - 0.5) / params.window_aspect * params.zoom + params.offset[1]
@@ -308,6 +421,10 @@ def inverse_point(params: CanvasParams, grid: Grid, sx: float, sy: float):
     """CPU mouse->texture inverse (Canvas.cpp:145-186): one screen point ->
     (s, t) tex coords or None if out of bounds."""
     proj = PROJECTIONS[params.projection]
+    if params.projection == "img":
+        s, t, oob = _img_screen_to_tex(params, grid, 2.0 * (sx - 0.5),
+                                       2.0 * (sy - 0.5))
+        return None if bool(oob) else (float(s), float(t))
     x = 2.0 * (sx - 0.5) * params.zoom + params.offset[0]
     y = 2.0 * (sy - 0.5) / params.window_aspect * params.zoom + params.offset[1]
     x *= proj.scale[0]

@@ -46,6 +46,24 @@ def test_undo_stack_depth_and_offsets():
     np.testing.assert_allclose(np.asarray(p.terrain), 6.0, atol=1e-5)
 
 
+def test_blur_restore_unselected_weighted_blend():
+    """Selection-masked blur must blend by the FRACTIONAL selection
+    (restoreUnselected, Filter.cpp:51-68: fc = s*new + (1-s)*backup), not
+    gate at sel > 0 — checked with a soft (blurred) selection edge."""
+    p = small_project()
+    p.gradient_noise(NoiseParams(octaves=3, scale=2.0, min=-1.0, max=1.0))
+    p.select_height(-2.0, 0.0)
+    p.select_blur(2.0)           # soft edge: fractional sel values
+    s = np.asarray(p.sel)
+    assert ((s > 0.01) & (s < 0.99)).sum() > 0, "selection edge not soft"
+    before = np.asarray(p.terrain)
+    from demiurge_tpu.ops.blur import blur as blur_op
+    full = np.asarray(blur_op(p.terrain, p.grid, 3.0))
+    p.blur(3.0)
+    np.testing.assert_allclose(np.asarray(p.terrain),
+                               s * full + (1 - s) * before, atol=1e-6)
+
+
 def test_selection_tools():
     p = small_project()
     p.offset(1.0)  # all land at h=1

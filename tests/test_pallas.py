@@ -118,6 +118,22 @@ def test_pressure_method_auto_dispatch():
     assert bool(jnp.isfinite(p).all())
 
 
+def test_climate_pallas_interpret_matches_xla():
+    """The fused K-substep climate kernel (barrel-rolled corner taps,
+    pole-reflected halos) must match the XLA substep scan."""
+    from demiurge_tpu.ops import temperature
+    from demiurge_tpu.pallas_kernels.climate import climate_step_pallas
+
+    grid, h, u, v = _setup(256, 128)
+    T = temperature.init_temperature(grid) + u * 10  # non-uniform start
+    Tx, ix = temperature.temperature_step(T, h, 3.0, grid, substeps=10)
+    Tp, ip = climate_step_pallas(T, h, 3.0, grid, substeps=10, band=64,
+                                 interpret=True)
+    assert float(ix) == float(ip)
+    np.testing.assert_allclose(np.asarray(Tp), np.asarray(Tx),
+                               rtol=2e-5, atol=2e-4)
+
+
 def test_diffusion_pallas_interpret_matches_xla():
     """The banded viscosity kernel (sign-flipped pole halos, N/S coefficient
     swap) must match the XLA scan after the same number of sweeps."""

@@ -29,12 +29,14 @@ def test_equirectangular_identity():
     np.testing.assert_allclose(np.asarray(img), np.asarray(h), rtol=1e-5)
 
 
-@pytest.mark.parametrize("name", sorted(PROJECTIONS))
+@pytest.mark.parametrize("name", sorted(n for n in PROJECTIONS
+                                        if n != "img"))
 def test_projection_inverse_consistency(name):
     """inverse() composed with the forward spherical mapping: the returned
     (lam, phi) must reproject to the input plane point for interior points
     (checked via the known forward formulas where simple, else via
-    smoothness/validity)."""
+    smoothness/validity).  'img' has its own screen->tex mapping (no
+    spherical inverse) and is covered by test_img_flat_view."""
     proj = PROJECTIONS[name]
     lam, phi, oob = proj.inverse(jnp.float32(0.1), jnp.float32(0.05))
     assert not bool(oob)
@@ -42,6 +44,72 @@ def test_projection_inverse_consistency(name):
     # out-of-bounds detection fires far outside
     _, _, oob2 = proj.inverse(jnp.float32(50.0), jnp.float32(50.0))
     assert bool(oob2)
+
+
+def test_img_flat_view():
+    """The raw-texture quad view (img.cpp:14-148): screen center maps to
+    tex center; the view is aspect-true (equal screen steps move equal
+    TEXTURE-pixel counts in x and y); t decreases upward (row 0 = top of
+    the quad); pan shifts the view; far zoom shows the whole quad with
+    out-of-bounds beyond it."""
+    from demiurge_tpu.viz.projections import inverse_point
+
+    g = Grid(64, 32)
+    p = CanvasParams(projection="img", zoom=1.0, window_aspect=1.0)
+    c = inverse_point(p, g, 0.5, 0.5)
+    assert c is not None
+    np.testing.assert_allclose(c, (0.5, 0.5), atol=1e-6)
+
+    d = 0.1
+    right = inverse_point(p, g, 0.5 + d, 0.5)
+    up = inverse_point(p, g, 0.5, 0.5 + d)
+    # aspect-true: ds*W == |dt|*H for equal screen steps
+    np.testing.assert_allclose((right[0] - 0.5) * g.width,
+                               (0.5 - up[1]) * g.height, rtol=1e-5)
+    assert up[1] < 0.5  # y-up screen motion -> decreasing t? no: t=0 top
+    # pan moves the window (quad units)
+    p2 = CanvasParams(projection="img", zoom=1.0, window_aspect=1.0,
+                      offset=(0.3, 0.0))
+    c2 = inverse_point(p2, g, 0.5, 0.5)
+    assert c2[0] < c[0]  # panning the quad +x shows smaller s at center
+
+    # zoomed far out, corners beyond the quad are out of bounds
+    pfar = CanvasParams(projection="img", zoom=5.0, window_aspect=1.0)
+    img, oob = project_field(terrain(g), pfar, g, 32, 16)
+    assert bool(np.asarray(oob).any())
+    assert inverse_point(pfar, g, 0.02, 0.02) is None
+
+
+def test_orthographic_globe_drag():
+    """Drag-to-rotate (Orthographic.cpp:71-127): dragging moves the picked
+    texture point with the cursor (the globe follows the mouse), delta_phi
+    clamps to [0, pi], and the canvas renders through the rotation."""
+    import dataclasses as dc
+
+    from demiurge_tpu.viz.projections import (orthographic_drag,
+                                              orthographic_mouse_pos)
+
+    g = Grid(64, 32)
+    p = CanvasParams(projection="orthographic",
+                     ortho_state=(0.0, math.pi / 2))
+    before = orthographic_mouse_pos(p, g, 0.5, 0.5)
+    p2 = orthographic_drag(p, g, (0.5, 0.5), (0.55, 0.5))
+    assert p2.ortho_state != p.ortho_state
+    # the point previously under the cursor center is now (approximately)
+    # under the new cursor position: its tex coords there match
+    after = orthographic_mouse_pos(p2, g, 0.55, 0.5)
+    np.testing.assert_allclose(after, before, atol=0.02)
+
+    # delta_phi clamp
+    p3 = p
+    for _ in range(10):
+        p3 = orthographic_drag(p3, g, (0.5, 0.5), (0.5, 0.6))
+    assert 0.0 <= p3.ortho_state[1] <= math.pi + 1e-9
+
+    # renders (no crash, center in bounds, rim out of bounds)
+    img, oob = project_field(terrain(g), dc.replace(p2, zoom=1.2), g, 32, 32)
+    o = np.asarray(oob)
+    assert not o[16, 16] and o[0, 0]
 
 
 def test_mollweide_known_point():
