@@ -99,7 +99,7 @@ def _kernel(K, nstages, T_ref, cinv_ref, asr_ref, shifts_ref, dif_ref,
     rows, W = T.shape
     kneg = shifts_ref[0][:, 0:1]
     kpos = shifts_ref[0][:, 1:2]
-    diff_scale = dif_ref[0]  # scalar: diffusivity / (4*dy^2)
+    diff_scale = dif_ref[0, 0]  # scalar: diffusivity / (4*dy^2)
 
     for s in range(K):
         asr = asr_ref[0][:, s:s + 1]

@@ -522,6 +522,359 @@ def flow_solve_fused(code, area2d, mouth, grid: Grid, k: int = 16,
     return apad[k:-k], vpad[k:-k] > 0.5
 
 
+# ---------------------------------------------------------------------------
+# wave-propagation band solver (flow_solve_wave)
+# ---------------------------------------------------------------------------
+#
+# The A-form relaxation above recomputes every cell's upstream sum each
+# sweep, so ALL cells downstream of any still-unresolved source keep
+# changing every sweep — the active set of the convergence tail is a whole
+# river's downstream trace, and the narrow-window logic rarely applies.
+# This kernel propagates the *delta* instead (a wave):
+#
+#   delta_0 = area;   per sweep:  delta' = sum_d inc_d * shift(delta, d)
+#                                 A     += delta'
+#                                 vis    = mouth | max_d out_d*shift(vis, d)
+#
+# After s sweeps A = sum_{j<=s} M^j area, the same fixpoint as the A-form
+# (f32 summation order differs: arrivals add in hop-distance order).  The
+# active set (delta != 0, plus newly-set vis bits) is exactly the
+# wavefront, which *is* narrow in the tail — so per-sweep column-window
+# tracking pays off where the A-form could not.
+#
+# Band decomposition without halos for delta (waves must be delivered
+# exactly once, so the overlapped-window recompute trick of the A-form
+# kernels is unsound here):
+#   - each band visit drains its local wave completely (sweeps until
+#     delta == 0 and vis stops changing) — delta never persists in HBM;
+#   - wave mass crossing a band boundary accumulates into per-band VMEM
+#     "outbox" rows (indexed by source column: the receiving band injects
+#     the row as a virtual halo row, and the inc-bit gather of its edge
+#     cells — which encodes the *source* cell's actual direction — routes
+#     each crossing to exactly one destination);
+#   - visits run sequentially (one core), so outbox accumulate/consume is
+#     exactly-once by construction; rounds revisit bands with pending
+#     inboxes or changed neighbors (vis halo rows are stale within a
+#     visit, which is safe: vis is a monotone OR), serpentine order.
+#
+# x layout: arrays carry 128 duplicated wrap columns per side (refreshed
+# after each sweep), so column windows never straddle the dateline seam;
+# a wavefront that genuinely spans the seam falls back to full width via
+# the range test.  y layout: 8-row zero halos at the global edges for DMA
+# sublane alignment (contents masked off by pack_masks' y-clip rules).
+
+
+def _wave_sweep(dvm, avm, vvm, pvm, band, o, NWW, W):
+    """One wave sweep on the column window [o, o+NWW) (padded coords).
+
+    All gathers materialize before any write, so delta/vis/A update in
+    place (no intra-sweep hazard in a single vectorized window).  Window
+    edge lanes are masked: their lane-rolls wrap the window, and a
+    wrongly-set vis bit could never be unset.  Returns the (lo, hi)
+    canonical-column change range in padded coords (duplicated columns
+    excluded)."""
+    win = pl.ds(o, NWW)
+    dslab = {dy: dvm[pl.ds(8 + dy, band), win] for dy in (-1, 0, 1)}
+    vslab = {dy: vvm[pl.ds(8 + dy, band), win] for dy in (-1, 0, 1)}
+    packed = pvm[:, win]
+
+    dsh, vsh = {}, {}
+    for dy in (-1, 0, 1):
+        d_s, v_s = dslab[dy], vslab[dy]
+        dsh[(-1, dy)] = pltpu.roll(d_s, 1, 1)   # reads col c-1
+        dsh[(0, dy)] = d_s
+        dsh[(1, dy)] = pltpu.roll(d_s, NWW - 1, 1)  # reads col c+1
+        vsh[(-1, dy)] = pltpu.roll(v_s, 1, 1)
+        vsh[(0, dy)] = v_s
+        vsh[(1, dy)] = pltpu.roll(v_s, NWW - 1, 1)
+
+    dnew = jnp.zeros((band, NWW), jnp.float32)
+    vnew = jnp.where((packed & (1 << 16)) != 0, 1.0, 0.0)
+    for i, (dx, dy) in enumerate(_SCAN_ORDER):
+        dnew = dnew + jnp.where((packed & (1 << i)) != 0, dsh[(dx, dy)], 0.0)
+        vnew = jnp.maximum(
+            vnew, jnp.where((packed & (1 << (8 + i))) != 0, vsh[(dx, dy)], 0.0))
+
+    vold = vslab[0]
+    # mask window edge lanes (window-wrapped rolls feed them garbage; the
+    # narrow-window guard keeps real activity >= 8 lanes from the edges)
+    wi = jax.lax.broadcasted_iota(jnp.int32, (band, NWW), 1)
+    edge_ok = (wi >= 1) & (wi < NWW - 1)
+    dnew = jnp.where(edge_ok, dnew, 0.0)
+    vnew = jnp.where(edge_ok, vnew, vold)
+    # canonical columns only: changes detected in duplicated wrap columns
+    # would corrupt the range (their canonical twins carry the real change)
+    ci = wi + o
+    ch = ((dnew != 0.0) | (vnew != vold)) & (ci >= 128) & (ci < W + 128)
+
+    avm[:, win] = avm[:, win] + dnew
+    vvm[pl.ds(8, band), win] = vnew
+    dvm[pl.ds(8, band), win] = dnew
+    lo, hi = _change_range(ch)
+    BIG = 1 << 30
+    return jnp.where(hi >= 0, lo + o, BIG), jnp.where(hi >= 0, hi + o, -1)
+
+
+def _kernel_wave(band, nbands, W, NW, max_rounds, max_sweeps,
+                 ppad, areapad, apad, vpad, aout, vout, it_ref,
+                 avm, vvm, pvm, arvm, dvm, obox, sem,
+                 prevv, curv, pend):
+    """Whole solve in one launch; see the section comment above.
+
+    SMEM: prevv/curv (nbands,) per-band changed flags of the previous /
+    current round; pend (2*nbands,) nonzero-outbox flags (row 2b =
+    southward outbox of band b, 2b+1 = northward).  VMEM obox
+    (2*nbands, W+256): the outbox rows themselves (persist across visits).
+    """
+    i32 = jnp.int32
+    BIG = 1 << 30
+    PW = W + 256
+
+    for b in range(nbands):
+        prevv[b] = 1
+        curv[b] = 0
+        pend[2 * b] = 0
+        pend[2 * b + 1] = 0
+    obox[...] = jnp.zeros((2 * nbands, PW), jnp.float32)
+
+    def dma(copies):
+        for cp in copies:
+            cp.start()
+        for cp in copies:
+            cp.wait()
+
+    def refresh_dups(vm, rows):
+        vm[pl.ds(0, rows), 0:128] = vm[pl.ds(0, rows), W:W + 128]
+        vm[pl.ds(0, rows), W + 128:W + 256] = vm[pl.ds(0, rows), 128:256]
+
+    def visit(b, rnd):
+        r0 = b * band
+        dma([pltpu.make_async_copy(aout.at[pl.ds(r0, band)], avm, sem.at[0]),
+             pltpu.make_async_copy(vout.at[pl.ds(r0, band + 16)], vvm,
+                                   sem.at[1]),
+             pltpu.make_async_copy(ppad.at[pl.ds(r0, band)], pvm, sem.at[2]),
+             pltpu.make_async_copy(areapad.at[pl.ds(r0, band)], arvm,
+                                   sem.at[3])])
+
+        # --- initial wave: round 0 -> full area field; later -> inboxes
+        dvm[...] = jnp.zeros((band + 16, PW), jnp.float32)
+
+        @pl.when(rnd == 0)
+        def _virgin():
+            dvm[pl.ds(8, band), :] = arvm[...]
+
+        if nbands > 1:
+            bs = jnp.maximum(b - 1, 0)
+            bn = jnp.minimum(b + 1, nbands - 1)
+
+            @pl.when(b > 0)
+            def _inj_s():
+                dvm[7, :] = obox[2 * bs + 1, :]
+                obox[2 * bs + 1, :] = jnp.zeros((PW,), jnp.float32)
+                pend[2 * bs + 1] = 0
+
+            @pl.when(b < nbands - 1)
+            def _inj_n():
+                dvm[band + 8, :] = obox[2 * bn, :]
+                obox[2 * bn, :] = jnp.zeros((PW,), jnp.float32)
+                pend[2 * bn] = 0
+
+        # crossing masks of the edge interior rows (bits 8+i of packed):
+        # north = dirs with dy=+1 (_SCAN_ORDER 0..2), south = dy=-1 (5..7)
+        def accum_crossings():
+            dN = dvm[band + 7, :]
+            pN = pvm[band - 1, :]
+            outN = jnp.zeros((PW,), jnp.float32)
+            for i in (0, 1, 2):
+                outN = outN + jnp.where((pN & (1 << (8 + i))) != 0, dN, 0.0)
+            dS = dvm[8, :]
+            pS = pvm[0, :]
+            outS = jnp.zeros((PW,), jnp.float32)
+            for i in (5, 6, 7):
+                outS = outS + jnp.where((pS & (1 << (8 + i))) != 0, dS, 0.0)
+            obox[2 * b + 1, :] = obox[2 * b + 1, :] + outN
+            obox[2 * b, :] = obox[2 * b, :] + outS
+            anyN = jnp.any(outN != 0.0)
+            anyS = jnp.any(outS != 0.0)
+
+            @pl.when(anyN)
+            def _():
+                pend[2 * b + 1] = 1
+
+            @pl.when(anyS)
+            def _():
+                pend[2 * b] = 1
+
+        M = 128  # window slack: recentered before the range reaches an edge
+
+        def sweep_step(carry):
+            s, lo, hi, _ = carry
+            if nbands > 1:
+                accum_crossings()
+
+            # window choice: narrow when the last change range (grown by
+            # the 1-cell wave speed) fits well inside an NW window
+            if W + 256 > NW:
+                o = jnp.clip((lo - M) // 128 * 128, 0, W + 256 - NW)
+                use_narrow = (hi >= 0) & (hi - lo < NW - 2 * M) \
+                    & (lo - o >= 8) & (o + NW - hi >= 8)
+
+                def run_narrow(o):
+                    return _wave_sweep(dvm, avm, vvm, pvm, band,
+                                       pl.multiple_of(o, 128), NW, W)
+
+                def run_full(o):
+                    return _wave_sweep(dvm, avm, vvm, pvm, band,
+                                       0, W + 256, W)
+
+                nlo, nhi = jax.lax.cond(use_narrow, run_narrow, run_full, o)
+            else:
+                nlo, nhi = _wave_sweep(dvm, avm, vvm, pvm, band,
+                                       0, W + 256, W)
+
+            # zero the injected halo rows after their single consumption
+            @pl.when(s == 0)
+            def _clear_inject():
+                dvm[7, :] = jnp.zeros((PW,), jnp.float32)
+                dvm[band + 8, :] = jnp.zeros((PW,), jnp.float32)
+
+            refresh_dups(avm, band)
+            refresh_dups(vvm, band + 16)
+            refresh_dups(dvm, band + 16)
+            changed = nhi >= 0
+            return s + 1, nlo, nhi, changed
+
+        def sweep_cond(carry):
+            s, _, _, changed = carry
+            return changed & (s < max_sweeps)
+
+        nswept, _, _, _ = jax.lax.while_loop(
+            sweep_cond, sweep_step,
+            (i32(0), i32(0), i32(W + 255), jnp.asarray(True)))
+
+        dma([pltpu.make_async_copy(avm, aout.at[pl.ds(r0, band)], sem.at[0]),
+             pltpu.make_async_copy(vvm.at[pl.ds(8, band)],
+                                   vout.at[pl.ds(r0 + 8, band)], sem.at[1])])
+        return nswept
+
+    def band_step(i, carry):
+        rnd, total = carry
+        b = jnp.where(rnd % 2 == 0, i, nbands - 1 - i)
+        bm = jnp.maximum(b - 1, 0)
+        bp = jnp.minimum(b + 1, nbands - 1)
+        seed = (prevv[bm] | prevv[b] | prevv[bp] | curv[bm] | curv[bp]
+                | pend[2 * bm + 1] | pend[2 * bp])
+
+        def go(args):
+            b, rnd = args
+            ns = visit(b, rnd)
+            # the first no-change sweep ends a visit, so ns == 1 means the
+            # visit found nothing to do — only real changes seed neighbors
+            @pl.when(ns > 1)
+            def _changed():
+                curv[b] = 1
+
+            return ns
+
+        nswept = jax.lax.cond(seed != 0, go, lambda a: i32(0), (b, rnd))
+        return rnd, total + nswept
+
+    def round_body(carry):
+        rnd, total = carry
+        _, total = jax.lax.fori_loop(0, nbands, band_step, (rnd, total))
+        anyc = i32(0)
+        for b in range(nbands):
+            prevv[b] = curv[b]
+            anyc = anyc | curv[b] | pend[2 * b] | pend[2 * b + 1]
+            curv[b] = 0
+        return rnd + 1, total, anyc
+
+    def loop_cond(carry):
+        rnd, _, anyc = carry
+        return (anyc != 0) & (rnd < max_rounds)
+
+    def loop_body(carry):
+        rnd, total, _ = carry
+        rnd, total, anyc = round_body((rnd, total))
+        return rnd, total, anyc
+
+    rnd, total, _ = jax.lax.while_loop(
+        loop_cond, loop_body, (i32(0), i32(0), i32(1)))
+    it_ref[0] = rnd
+    it_ref[1] = total
+
+
+def _pad_wave(x, grid: Grid):
+    """(H, W) -> (H, W+256): 128 duplicated wrap columns each side."""
+    return jnp.concatenate([x[:, -128:], x, x[:, :128]], 1)
+
+
+def _pad_wave_rows(x, grid: Grid):
+    """(H, W) -> (H+16, W+256): wrap columns + 8 zero halo rows each end
+    (8 for DMA sublane alignment; contents masked off by pack_masks'
+    y-clip range rules)."""
+    xp = _pad_wave(x, grid)
+    z = jnp.zeros((8, xp.shape[1]), x.dtype)
+    return jnp.concatenate([z, xp, z], 0)
+
+
+@functools.partial(jax.jit, static_argnames=("grid", "band", "narrow",
+                                             "max_rounds", "max_sweeps",
+                                             "interpret", "with_stats"))
+def flow_solve_wave(code, area2d, mouth, grid: Grid, band: int = 0,
+                    narrow: int = 512, max_rounds: int = 1 << 10,
+                    max_sweeps: int = 1 << 20,
+                    interpret: bool = False, with_stats: bool = False):
+    """Drop-in for flow_solve_pallas: delta-wave band solver (see the
+    section comment above).  Returns (A, vis bool); with_stats additionally
+    returns an int32[2] of (rounds, total sweeps)."""
+    H, W = grid.shape
+    band = band or _pick_band(H)
+    assert band > 0 and H % band == 0 and grid.wrap_x, (grid.shape, band)
+    assert W % 128 == 0 and narrow % 128 == 0 and narrow >= 384
+    nbands = H // band
+
+    packed = pack_masks(code, mouth, grid)
+    ppad = _pad_wave(packed, grid)
+    areapad = _pad_wave(area2d, grid)
+    apad0 = _pad_wave(area2d, grid)               # A starts at area
+    vpad0 = _pad_wave_rows(jnp.where(mouth, 1.0, 0.0), grid)
+
+    PW = W + 256
+    apad, vpad, stats = pl.pallas_call(
+        functools.partial(_kernel_wave, band, nbands, W, narrow,
+                          max_rounds, max_sweeps),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(jax.ShapeDtypeStruct((H, PW), jnp.float32),
+                   jax.ShapeDtypeStruct((H + 16, PW), jnp.float32),
+                   jax.ShapeDtypeStruct((2,), jnp.int32)),
+        input_output_aliases={2: 0, 3: 1},  # apad -> aout, vpad -> vout
+        scratch_shapes=[
+            pltpu.VMEM((band, PW), jnp.float32),        # avm
+            pltpu.VMEM((band + 16, PW), jnp.float32),   # vvm
+            pltpu.VMEM((band, PW), jnp.int32),          # pvm
+            pltpu.VMEM((band, PW), jnp.float32),        # arvm
+            pltpu.VMEM((band + 16, PW), jnp.float32),   # dvm
+            pltpu.VMEM((2 * nbands, PW), jnp.float32),  # obox
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SMEM((nbands,), jnp.int32),
+            pltpu.SMEM((nbands,), jnp.int32),
+            pltpu.SMEM((2 * nbands,), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(ppad, areapad, apad0, vpad0)
+    A = apad[:, 128:-128]
+    vis = vpad[8:-8, 128:-128] > 0.5
+    if with_stats:
+        return A, vis, stats
+    return A, vis
+
+
 def _pick_band(H: int) -> int:
     # 64 beats 128: the convergence tail pays per-window pixels, and the
     # early-exit already keeps dragged-in neighbor bands cheap
