@@ -77,6 +77,14 @@ class OceanConfig:
     advect_method: str = "fast"
     tap_radius_x: int = 8
     tap_radius_y: int = 2
+    # static velocity bound used to size the per-latitude-strip tap radii
+    # of the TPU tiered sampler (pallas_kernels.advect.strip_radii): the
+    # x backtrace stretches as 1/cos(phi), so mid-latitude strips tap
+    # narrow (Rx=2) while polar strips tap wide (up to 256 columns) —
+    # both faster than one global radius AND exact at wind-driven speeds
+    # (equilibrium |v| under the reference forcing is ~0.2; the cap can
+    # only bind in the 1-2 outermost polar rows)
+    vmax_hint: float = 1.0
     # pressure Poisson solver backend: 'xla' = one 5-point sweep per HBM
     # round trip (reference-exact order), 'pallas' = fused K-sweep VMEM
     # bands (pallas_kernels.jacobi, same fixpoint, f32 reassociation-level
@@ -137,7 +145,8 @@ def wind_profile(grid: Grid):
     return wx, wy
 
 
-def _advect_sample_fast(u, v, s2, t2, grid: Grid, Rx: int, Ry: int):
+def _advect_sample_fast(u, v, s2, t2, grid: Grid, Rx: int, Ry: int,
+                        cfg: Optional[OceanConfig] = None):
     """Bilinear fetch of (u, v) at backtraced coords without a gather.
 
     Writes the bilinear interpolation as a sum over (2Rx+1)*(2Ry+1) integer
@@ -159,15 +168,25 @@ def _advect_sample_fast(u, v, s2, t2, grid: Grid, Rx: int, Ry: int):
     H, W = u.shape
     c = jnp.arange(W, dtype=jnp.float32).reshape(1, -1)
     r = jnp.arange(H, dtype=jnp.float32).reshape(-1, 1)
+
+    if jax.default_backend() == "tpu" and H % 32 == 0:
+        from ..pallas_kernels.advect import (advect_sample_tiered,
+                                             strip_radii)
+
+        vmax = cfg.vmax_hint if cfg is not None else 1.0
+        ts = cfg.timestep if cfg is not None else 24.0
+        radii = strip_radii(grid, vmax, ts)
+        import numpy as np
+
+        rxrow = jnp.asarray(np.repeat(np.asarray(radii, np.float32), 32)
+                            ).reshape(-1, 1)
+        dx = jnp.clip(s2 * W - 0.5 - c, -rxrow, rxrow)
+        dy = jnp.clip(t2 * H - 0.5 - r, -Ry, Ry)
+        return advect_sample_tiered(u, v, dx, dy, grid, vmax=vmax,
+                                    timestep=ts, Ry=Ry)
+
     dx = jnp.clip(s2 * W - 0.5 - c, -Rx, Rx)
     dy = jnp.clip(t2 * H - 0.5 - r, -Ry, Ry)
-
-    if jax.default_backend() == "tpu":
-        from ..pallas_kernels.advect import (advect_sample_pallas,
-                                             advect_sample_supported)
-
-        if advect_sample_supported(H):
-            return advect_sample_pallas(u, v, dx, dy, Rx, Ry)
 
     uv = jnp.stack([u, v])  # share the tap weights between components
     out = jnp.zeros_like(uv)
@@ -228,7 +247,8 @@ def advect(u, v, terrain, grid: Grid, cfg: OceanConfig):
     use_fast = cfg.advect_method == "fast" and grid.wrap_x
     if use_fast:
         nu, nv = _advect_sample_fast(u, v, s2, t2, grid,
-                                     cfg.tap_radius_x, cfg.tap_radius_y)
+                                     cfg.tap_radius_x, cfg.tap_radius_y,
+                                     cfg=cfg)
     else:
         nu = sample_bilinear(u, s2, t2)
         nv = sample_bilinear(v, s2, t2)

@@ -41,26 +41,85 @@ def _kernel(Rx, Ry, band, u_ref, v_ref, dx_ref, dy_ref, ou_ref, ov_ref):
     dy = dy_ref[0]
     W = dx.shape[1]
 
-    # fori_loop over the x taps with a dynamic roll shift: a fully unrolled
-    # value chain makes Mosaic keep all ~85 rolled copies live on the VMEM
-    # stack (scoped-vmem OOM) and blows up compile time.
+    # incremental static rolls: tap k+1's window is tap k's rolled one more
+    # lane, so each tap costs one static single-step roll (a dynamic-shift
+    # roll lowers to a full log2(W) barrel) and only one rolled copy is
+    # ever live (a fully materialized tap stack blows scoped vmem).
     out_u = jnp.zeros_like(dx)
     out_v = jnp.zeros_like(dx)
     for ky in range(-Ry, Ry + 1):
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(dy - ky))
         u_y = u_ref[0, Ry + ky:Ry + ky + band, :]
         v_y = v_ref[0, Ry + ky:Ry + ky + band, :]
+        ru0 = pltpu.roll(u_y, Rx % W, 1)    # reads col c - Rx
+        rv0 = pltpu.roll(v_y, Rx % W, 1)
 
-        def body(i, acc, wy=wy, u_y=u_y, v_y=v_y):
-            ou, ov = acc
-            kx = i - Rx
-            w = wy * jnp.maximum(0.0, 1.0 - jnp.abs(dx - kx.astype(jnp.float32)))
-            sh = jnp.mod(-kx, W)
-            ou = ou + w * pltpu.roll(u_y, sh, 1)
-            ov = ov + w * pltpu.roll(v_y, sh, 1)
-            return ou, ov
+        def tap(i, acc, wy=wy):
+            ru, rv, ou, ov = acc
+            kx = (i - Rx).astype(jnp.float32)
+            w = wy * jnp.maximum(0.0, 1.0 - jnp.abs(dx - kx))
+            ou = ou + w * ru
+            ov = ov + w * rv
+            # static single-column advance (dynamic-shift rolls lower to a
+            # full log2(W) barrel; a fully unrolled chain OOMs scoped vmem)
+            return pltpu.roll(ru, W - 1, 1), pltpu.roll(rv, W - 1, 1), ou, ov
 
-        out_u, out_v = jax.lax.fori_loop(0, 2 * Rx + 1, body, (out_u, out_v))
+        _, _, out_u, out_v = jax.lax.fori_loop(
+            0, 2 * Rx + 1, tap, (ru0, rv0, out_u, out_v))
+    ou_ref[0] = out_u
+    ov_ref[0] = out_v
+
+
+def _kernel_polar(Rf, stride, Q, Ry, band, u_ref, v_ref, dx_ref, dy_ref,
+                  ou_ref, ov_ref):
+    """Polar-strip hybrid: exact hat taps for |dx| <= Rf, stride-``stride``
+    coarse hat taps (bilinear on the subsampled lattice) out to
+    Q*stride columns beyond.  Polar rows are massively oversampled in x
+    (pixel width ~ cos(phi)), so the coarse branch's low-pass is confined
+    to sub-physical scales there."""
+    dx = dx_ref[0]
+    dy = dy_ref[0]
+    W = dx.shape[1]
+    fine = jnp.abs(dx) <= float(Rf)
+
+    out_u = jnp.zeros_like(dx)
+    out_v = jnp.zeros_like(dx)
+    for ky in range(-Ry, Ry + 1):
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(dy - ky))
+        u_y = u_ref[0, Ry + ky:Ry + ky + band, :]
+        v_y = v_ref[0, Ry + ky:Ry + ky + band, :]
+        # fine taps: incremental single-lane static rolls
+        ru0 = pltpu.roll(u_y, (Rf + 1) % W, 1)
+        rv0 = pltpu.roll(v_y, (Rf + 1) % W, 1)
+
+        def ftap(i, acc, wy=wy):
+            ru, rv, ou, ov = acc
+            kx = (i - (Rf + 1)).astype(jnp.float32)
+            w = wy * jnp.maximum(0.0, 1.0 - jnp.abs(dx - kx))
+            w = jnp.where(fine, w, 0.0)
+            ou = ou + w * ru
+            ov = ov + w * rv
+            return pltpu.roll(ru, W - 1, 1), pltpu.roll(rv, W - 1, 1), ou, ov
+
+        _, _, out_u, out_v = jax.lax.fori_loop(
+            0, 2 * (Rf + 1) + 1, ftap, (ru0, rv0, out_u, out_v))
+
+        # coarse taps: incremental static stride rolls
+        ru0 = pltpu.roll(u_y, (Q * stride) % W, 1)
+        rv0 = pltpu.roll(v_y, (Q * stride) % W, 1)
+
+        def ctap(i, acc, wy=wy):
+            ru, rv, ou, ov = acc
+            kx = ((i - Q) * stride).astype(jnp.float32)
+            w = wy * jnp.maximum(0.0, 1.0 - jnp.abs(dx - kx) / stride)
+            w = jnp.where(fine, 0.0, w)
+            ou = ou + w * ru
+            ov = ov + w * rv
+            return (pltpu.roll(ru, (W - stride) % W, 1),
+                    pltpu.roll(rv, (W - stride) % W, 1), ou, ov)
+
+        _, _, out_u, out_v = jax.lax.fori_loop(
+            0, 2 * Q + 1, ctap, (ru0, rv0, out_u, out_v))
     ou_ref[0] = out_u
     ov_ref[0] = out_v
 
@@ -74,6 +133,107 @@ def _pick_band(H: int) -> int:
 
 def advect_sample_supported(H: int) -> bool:
     return _pick_band(H) > 0
+
+
+def strip_radii(grid, vmax: float, timestep: float, strip: int = 32,
+                rx_cap: int = 256):
+    """Static per-strip x-tap radii: the backtrace displacement is bounded
+    by vmax*dt worth of arclength, stretched 1/cos(phi) into columns
+    (ops.ocean.advect geometry).  Mid-latitude strips need Rx=2; only the
+    polar strips pay wide taps.  Returns a list of per-strip radii,
+    south to north."""
+    import math
+
+    import numpy as np
+
+    H, W = grid.shape
+    arc = 2 * 3.14159 / grid.circumference * vmax * timestep  # radians
+    r = np.arange(H, dtype=np.float64)
+    phi = (r + 0.5) / H * (grid.phi1 - grid.phi0) + grid.phi0
+    need = arc / (2 * math.pi / W) / np.maximum(np.cos(phi), 1e-9)
+    radii = []
+    for s0 in range(0, H, strip):
+        n = int(math.ceil(need[s0:s0 + strip].max()))
+        # snap to a small set of radii (fewer distinct kernels)
+        for r in (2, 4, 8, 16):
+            if n <= r:
+                radii.append(r)
+                break
+        else:
+            radii.append(rx_cap)
+    return radii
+
+
+@functools.partial(jax.jit, static_argnames=("grid", "vmax", "timestep",
+                                             "Ry", "interpret"))
+def advect_sample_tiered(u, v, dx, dy, grid, vmax: float = 1.0,
+                         timestep: float = 24.0, Ry: int = 2,
+                         interpret: bool = False):
+    """Velocity-aware tiered tap sampler: 32-row strips grouped by their
+    static x-radius (strip_radii), one pallas_call per distinct radius.
+    dx must already be clamped per row to the strip radius
+    (ops.ocean does this with the same strip table); dy to Ry.
+
+    Exact bilinear wherever |dx| <= strip radius — at vmax=1.0 that is
+    every row except the 1-2 outermost polar rows, where the 256-column
+    cap clamps gracefully (the reference's GL fetch has no such cap, but
+    those rows are 500x oversampled in x)."""
+    H, W = u.shape
+    strip = 32
+    assert H % strip == 0, H
+    radii = strip_radii(grid, vmax, timestep, strip)
+
+    # contiguous runs of equal radius (radii grow monotonically toward the
+    # poles, so there are ~2 runs per radius)
+    runs = []  # (start_strip, count, Rx)
+    for i, r in enumerate(radii):
+        if runs and runs[-1][2] == r:
+            runs[-1] = (runs[-1][0], runs[-1][1] + 1, r)
+        else:
+            runs.append((i, 1, r))
+
+    up = _pad_clamp_rows(u, Ry)
+    vp = _pad_clamp_rows(v, Ry)
+    nstrips = len(radii)
+    # one shared window stack; each run's pallas_call addresses its strips
+    # directly through the BlockSpec index map — no per-group copies
+    uw_all = jnp.stack([up[i * strip:i * strip + strip + 2 * Ry]
+                        for i in range(nstrips)])
+    vw_all = jnp.stack([vp[i * strip:i * strip + strip + 2 * Ry]
+                        for i in range(nstrips)])
+    dxw_all = dx.reshape(nstrips, strip, W)
+    dyw_all = dy.reshape(nstrips, strip, W)
+
+    outs_u = []
+    outs_v = []
+    for i0, ng, Rx in runs:
+        pad_spec = pl.BlockSpec((1, strip + 2 * Ry, W),
+                                lambda i, i0=i0: (i0 + i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        spec = pl.BlockSpec((1, strip, W), lambda i, i0=i0: (i0 + i, 0, 0),
+                            memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((1, strip, W), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        if Rx > 16:
+            kern = functools.partial(_kernel_polar, 6, 8,
+                                     min((Rx + 7) // 8, W // 16), Ry, strip)
+        else:
+            kern = functools.partial(_kernel, Rx, Ry, strip)
+        ou, ov = pl.pallas_call(
+            kern,
+            grid=(ng,),
+            in_specs=[pad_spec, pad_spec, spec, spec],
+            out_specs=(out_spec, out_spec),
+            out_shape=(jax.ShapeDtypeStruct((ng, strip, W), jnp.float32),
+                       jax.ShapeDtypeStruct((ng, strip, W), jnp.float32)),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(uw_all, vw_all, dxw_all, dyw_all)
+        outs_u.append(ou)
+        outs_v.append(ov)
+    return (jnp.concatenate(outs_u, 0).reshape(H, W),
+            jnp.concatenate(outs_v, 0).reshape(H, W))
 
 
 @functools.partial(jax.jit, static_argnames=("Rx", "Ry", "interpret"))

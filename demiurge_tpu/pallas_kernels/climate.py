@@ -183,25 +183,53 @@ def climate_step_pallas(T, terrain, i0, grid: Grid, substeps: int = 10,
     asrw = jnp.stack([asr[i * band:i * band + rows] for i in range(nbands)])
     shw = jnp.stack([shifts[i * band:i * band + rows] for i in range(nbands)])
 
-    spec2 = pl.BlockSpec((1, rows, W), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        functools.partial(_kernel, K, _nstages(W)),
-        grid=(nbands,),
-        in_specs=[
-            spec2, spec2,
-            pl.BlockSpec((1, rows, K), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows, 2), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((1, band, W), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nbands, band, W), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(Tw, cw, asrw, shw, diff_scale)
+    # --- group bands by how many barrel-roll stages their rows need: the
+    # column shift is 1/cos(phi), so mid-latitude bands need 2-3 stages
+    # while only the polar bands need the full log2(W).  One pallas_call
+    # per distinct stage count — the mid-latitude calls run ~4x fewer
+    # roll+select passes per substep.
+    shifts_pad = np.stack([np.asarray(_pad_vec_reflect(kneg_np, K)),
+                           np.asarray(_pad_vec_reflect(kpos_np, K))], 1)
 
-    return out.reshape(H, W), i0 + K
+    def band_stages(b):
+        s = shifts_pad[b * band:b * band + rows]
+        m = int(s.max())
+        return max(1, m.bit_length())
+
+    stage_groups: dict = {}
+    for b in range(nbands):
+        stage_groups.setdefault(min(band_stages(b), _nstages(W)), []).append(b)
+
+    outs = [None] * nbands
+    for nst, bands_ in sorted(stage_groups.items()):
+        sel = jnp.asarray(bands_, jnp.int32)
+        Tg = Tw[sel]
+        cg = cw[sel]
+        ag = asrw[sel]
+        sg = shw[sel]
+        ng = len(bands_)
+        spec2 = pl.BlockSpec((1, rows, W), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+        og = pl.pallas_call(
+            functools.partial(_kernel, K, nst),
+            grid=(ng,),
+            in_specs=[
+                spec2, spec2,
+                pl.BlockSpec((1, rows, K), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, rows, 2), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((1, band, W), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((ng, band, W), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(Tg, cg, ag, sg, diff_scale)
+        for k, b in enumerate(bands_):
+            outs[b] = og[k]
+
+    return jnp.concatenate(outs, 0), i0 + K

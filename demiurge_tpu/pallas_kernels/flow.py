@@ -564,24 +564,58 @@ def flow_solve_fused(code, area2d, mouth, grid: Grid, k: int = 16,
 # sublane alignment (contents masked off by pack_masks' y-clip rules).
 
 
-def _wave_sweep(dvm, avm, vvm, pvm, band, o, NWW, W):
+def _wave_sweep(dvm, avm, vvm, pvm, obox, b, band, o, NWW, W, nbands):
     """One wave sweep on the column window [o, o+NWW) (padded coords).
 
     All gathers materialize before any write, so delta/vis/A update in
     place (no intra-sweep hazard in a single vectorized window).  Window
     edge lanes are masked: their lane-rolls wrap the window, and a
-    wrongly-set vis bit could never be unset.  Returns the (lo, hi)
-    canonical-column change range in padded coords (duplicated columns
-    excluded)."""
+    wrongly-set vis bit could never be unset.
+
+    Also accumulates band-boundary crossings of the pre-sweep delta into
+    the outbox rows (window-limited), and tracks whether VIS changed in
+    the edge interior rows (the only in-band changes a neighbor can see,
+    through its stale halo rows).
+
+    Returns (lo, hi, crossN, crossS, edgeN, edgeS): canonical-column
+    change range (duplicated columns excluded) and the four neighbor-
+    relevant flags."""
     win = pl.ds(o, NWW)
     dslab = {dy: dvm[pl.ds(8 + dy, band), win] for dy in (-1, 0, 1)}
     vslab = {dy: vvm[pl.ds(8 + dy, band), win] for dy in (-1, 0, 1)}
     packed = pvm[:, win]
 
+    # --- outgoing band crossings of the current delta (edge interior
+    # rows; full-width 1-D row ops — thin windowed row slices crash the
+    # Mosaic array layout checks)
+    if nbands > 1:
+        dN = dvm[band + 7, :]
+        pN = pvm[band - 1, :]
+        outN = jnp.zeros_like(dN)
+        for i in (0, 1, 2):          # _SCAN_ORDER dirs with dy=+1
+            outN = outN + jnp.where((pN & (1 << (8 + i))) != 0, dN, 0.0)
+        dS = dvm[8, :]
+        pS = pvm[0, :]
+        outS = jnp.zeros_like(dS)
+        for i in (5, 6, 7):          # dirs with dy=-1
+            outS = outS + jnp.where((pS & (1 << (8 + i))) != 0, dS, 0.0)
+        crossN = jnp.any(outN != 0.0)
+        crossS = jnp.any(outS != 0.0)
+
+        @pl.when(crossN)
+        def _accN():
+            obox[2 * b + 1, :] = obox[2 * b + 1, :] + outN
+
+        @pl.when(crossS)
+        def _accS():
+            obox[2 * b, :] = obox[2 * b, :] + outS
+    else:
+        crossN = crossS = jnp.asarray(False)
+
     dsh, vsh = {}, {}
     for dy in (-1, 0, 1):
         d_s, v_s = dslab[dy], vslab[dy]
-        dsh[(-1, dy)] = pltpu.roll(d_s, 1, 1)   # reads col c-1
+        dsh[(-1, dy)] = pltpu.roll(d_s, 1, 1)       # reads col c-1
         dsh[(0, dy)] = d_s
         dsh[(1, dy)] = pltpu.roll(d_s, NWW - 1, 1)  # reads col c+1
         vsh[(-1, dy)] = pltpu.roll(v_s, 1, 1)
@@ -602,37 +636,46 @@ def _wave_sweep(dvm, avm, vvm, pvm, band, o, NWW, W):
     edge_ok = (wi >= 1) & (wi < NWW - 1)
     dnew = jnp.where(edge_ok, dnew, 0.0)
     vnew = jnp.where(edge_ok, vnew, vold)
+    vch = vnew != vold
     # canonical columns only: changes detected in duplicated wrap columns
     # would corrupt the range (their canonical twins carry the real change)
     ci = wi + o
-    ch = ((dnew != 0.0) | (vnew != vold)) & (ci >= 128) & (ci < W + 128)
+    canon = (ci >= 128) & (ci < W + 128)
+    ch = ((dnew != 0.0) | vch) & canon
+    ri = jax.lax.broadcasted_iota(jnp.int32, (band, NWW), 0)
+    edgeN = jnp.any(vch & canon & (ri == band - 1))
+    edgeS = jnp.any(vch & canon & (ri == 0))
 
     avm[:, win] = avm[:, win] + dnew
     vvm[pl.ds(8, band), win] = vnew
     dvm[pl.ds(8, band), win] = dnew
     lo, hi = _change_range(ch)
     BIG = 1 << 30
-    return jnp.where(hi >= 0, lo + o, BIG), jnp.where(hi >= 0, hi + o, -1)
+    return (jnp.where(hi >= 0, lo + o, BIG), jnp.where(hi >= 0, hi + o, -1),
+            crossN, crossS, edgeN, edgeS)
 
 
 def _kernel_wave(band, nbands, W, NW, max_rounds, max_sweeps,
                  ppad, areapad, apad, vpad, aout, vout, it_ref,
                  avm, vvm, pvm, arvm, dvm, obox, sem,
-                 prevv, curv, pend):
+                 prevN, prevS, curN, curS, pend):
     """Whole solve in one launch; see the section comment above.
 
-    SMEM: prevv/curv (nbands,) per-band changed flags of the previous /
-    current round; pend (2*nbands,) nonzero-outbox flags (row 2b =
-    southward outbox of band b, 2b+1 = northward).  VMEM obox
-    (2*nbands, W+256): the outbox rows themselves (persist across visits).
-    """
+    SMEM (nbands,) flags: prevN/prevS (curN/curS) — did the previous
+    (current) round's visit change VIS in the band's north/south edge
+    interior row (the only in-band change a neighbor can observe);
+    pend (2*nbands,) — nonzero-outbox flags (row 2b = southward outbox of
+    band b, 2b+1 = northward).  VMEM obox (2*nbands, W+256): the outbox
+    rows themselves (persist across visits; accumulate-on-write,
+    zero-on-consume, exactly-once since visits are sequential)."""
     i32 = jnp.int32
-    BIG = 1 << 30
     PW = W + 256
 
     for b in range(nbands):
-        prevv[b] = 1
-        curv[b] = 0
+        prevN[b] = 1
+        prevS[b] = 1
+        curN[b] = 0
+        curS[b] = 0
         pend[2 * b] = 0
         pend[2 * b + 1] = 0
     obox[...] = jnp.zeros((2 * nbands, PW), jnp.float32)
@@ -652,65 +695,39 @@ def _kernel_wave(band, nbands, W, NW, max_rounds, max_sweeps,
         dma([pltpu.make_async_copy(aout.at[pl.ds(r0, band)], avm, sem.at[0]),
              pltpu.make_async_copy(vout.at[pl.ds(r0, band + 16)], vvm,
                                    sem.at[1]),
-             pltpu.make_async_copy(ppad.at[pl.ds(r0, band)], pvm, sem.at[2]),
-             pltpu.make_async_copy(areapad.at[pl.ds(r0, band)], arvm,
-                                   sem.at[3])])
+             pltpu.make_async_copy(ppad.at[pl.ds(r0, band)], pvm, sem.at[2])])
 
         # --- initial wave: round 0 -> full area field; later -> inboxes
         dvm[...] = jnp.zeros((band + 16, PW), jnp.float32)
 
         @pl.when(rnd == 0)
         def _virgin():
+            dma([pltpu.make_async_copy(areapad.at[pl.ds(r0, band)], arvm,
+                                       sem.at[3])])
             dvm[pl.ds(8, band), :] = arvm[...]
 
         if nbands > 1:
             bs = jnp.maximum(b - 1, 0)
             bn = jnp.minimum(b + 1, nbands - 1)
 
-            @pl.when(b > 0)
+            @pl.when((b > 0) & (pend[2 * bs + 1] != 0))
             def _inj_s():
                 dvm[7, :] = obox[2 * bs + 1, :]
                 obox[2 * bs + 1, :] = jnp.zeros((PW,), jnp.float32)
                 pend[2 * bs + 1] = 0
+                refresh_dups(dvm, band + 16)
 
-            @pl.when(b < nbands - 1)
+            @pl.when((b < nbands - 1) & (pend[2 * bn] != 0))
             def _inj_n():
                 dvm[band + 8, :] = obox[2 * bn, :]
                 obox[2 * bn, :] = jnp.zeros((PW,), jnp.float32)
                 pend[2 * bn] = 0
-
-        # crossing masks of the edge interior rows (bits 8+i of packed):
-        # north = dirs with dy=+1 (_SCAN_ORDER 0..2), south = dy=-1 (5..7)
-        def accum_crossings():
-            dN = dvm[band + 7, :]
-            pN = pvm[band - 1, :]
-            outN = jnp.zeros((PW,), jnp.float32)
-            for i in (0, 1, 2):
-                outN = outN + jnp.where((pN & (1 << (8 + i))) != 0, dN, 0.0)
-            dS = dvm[8, :]
-            pS = pvm[0, :]
-            outS = jnp.zeros((PW,), jnp.float32)
-            for i in (5, 6, 7):
-                outS = outS + jnp.where((pS & (1 << (8 + i))) != 0, dS, 0.0)
-            obox[2 * b + 1, :] = obox[2 * b + 1, :] + outN
-            obox[2 * b, :] = obox[2 * b, :] + outS
-            anyN = jnp.any(outN != 0.0)
-            anyS = jnp.any(outS != 0.0)
-
-            @pl.when(anyN)
-            def _():
-                pend[2 * b + 1] = 1
-
-            @pl.when(anyS)
-            def _():
-                pend[2 * b] = 1
+                refresh_dups(dvm, band + 16)
 
         M = 128  # window slack: recentered before the range reaches an edge
 
         def sweep_step(carry):
-            s, lo, hi, _ = carry
-            if nbands > 1:
-                accum_crossings()
+            s, lo, hi, _, eN, eS = carry
 
             # window choice: narrow when the last change range (grown by
             # the 1-cell wave speed) fits well inside an NW window
@@ -720,17 +737,26 @@ def _kernel_wave(band, nbands, W, NW, max_rounds, max_sweeps,
                     & (lo - o >= 8) & (o + NW - hi >= 8)
 
                 def run_narrow(o):
-                    return _wave_sweep(dvm, avm, vvm, pvm, band,
-                                       pl.multiple_of(o, 128), NW, W)
+                    return _wave_sweep(dvm, avm, vvm, pvm, obox, b, band,
+                                       pl.multiple_of(o, 128), NW, W, nbands)
 
                 def run_full(o):
-                    return _wave_sweep(dvm, avm, vvm, pvm, band,
-                                       0, W + 256, W)
+                    return _wave_sweep(dvm, avm, vvm, pvm, obox, b, band,
+                                       0, W + 256, W, nbands)
 
-                nlo, nhi = jax.lax.cond(use_narrow, run_narrow, run_full, o)
+                res = jax.lax.cond(use_narrow, run_narrow, run_full, o)
             else:
-                nlo, nhi = _wave_sweep(dvm, avm, vvm, pvm, band,
-                                       0, W + 256, W)
+                res = _wave_sweep(dvm, avm, vvm, pvm, obox, b, band,
+                                  0, W + 256, W, nbands)
+            nlo, nhi, crN, crS, veN, veS = res
+
+            @pl.when(crN)
+            def _():
+                pend[2 * b + 1] = 1
+
+            @pl.when(crS)
+            def _():
+                pend[2 * b] = 1
 
             # zero the injected halo rows after their single consumption
             @pl.when(s == 0)
@@ -738,23 +764,42 @@ def _kernel_wave(band, nbands, W, NW, max_rounds, max_sweeps,
                 dvm[7, :] = jnp.zeros((PW,), jnp.float32)
                 dvm[band + 8, :] = jnp.zeros((PW,), jnp.float32)
 
-            refresh_dups(avm, band)
-            refresh_dups(vvm, band + 16)
-            refresh_dups(dvm, band + 16)
+            # duplicated wrap columns only go stale when the canonical
+            # dateline region actually changed
+            @pl.when((nhi >= 0) & ((nlo < 256) | (nhi >= W)))
+            def _dups():
+                refresh_dups(avm, band)
+                refresh_dups(vvm, band + 16)
+                refresh_dups(dvm, band + 16)
+
             changed = nhi >= 0
-            return s + 1, nlo, nhi, changed
+            return s + 1, nlo, nhi, changed, eN | veN, eS | veS
 
         def sweep_cond(carry):
-            s, _, _, changed = carry
+            s, _, _, changed, _, _ = carry
             return changed & (s < max_sweeps)
 
-        nswept, _, _, _ = jax.lax.while_loop(
+        nswept, _, _, _, eN, eS = jax.lax.while_loop(
             sweep_cond, sweep_step,
-            (i32(0), i32(0), i32(W + 255), jnp.asarray(True)))
+            (i32(0), i32(0), i32(W + 255), jnp.asarray(True),
+             jnp.asarray(False), jnp.asarray(False)))
 
-        dma([pltpu.make_async_copy(avm, aout.at[pl.ds(r0, band)], sem.at[0]),
-             pltpu.make_async_copy(vvm.at[pl.ds(8, band)],
-                                   vout.at[pl.ds(r0 + 8, band)], sem.at[1])])
+        @pl.when(eN)
+        def _():
+            curN[b] = 1
+
+        @pl.when(eS)
+        def _():
+            curS[b] = 1
+
+        @pl.when(nswept > 1)
+        def _writeback():
+            dma([pltpu.make_async_copy(avm, aout.at[pl.ds(r0, band)],
+                                       sem.at[0]),
+                 pltpu.make_async_copy(vvm.at[pl.ds(8, band)],
+                                       vout.at[pl.ds(r0 + 8, band)],
+                                       sem.at[1])])
+
         return nswept
 
     def band_step(i, carry):
@@ -762,21 +807,23 @@ def _kernel_wave(band, nbands, W, NW, max_rounds, max_sweeps,
         b = jnp.where(rnd % 2 == 0, i, nbands - 1 - i)
         bm = jnp.maximum(b - 1, 0)
         bp = jnp.minimum(b + 1, nbands - 1)
-        seed = (prevv[bm] | prevv[b] | prevv[bp] | curv[bm] | curv[bp]
-                | pend[2 * bm + 1] | pend[2 * bp])
+        # a band needs a visit iff a neighbor has (a) wave mass addressed
+        # to it (pend) or (b) a vis change in the edge row this band reads
+        # as its halo — from the previous round or from an already-visited
+        # neighbor this round (serpentine)
+        seed = (pend[2 * bm + 1] | pend[2 * bp]
+                | prevN[bm] | curN[bm] | prevS[bp] | curS[bp])
+        seed = jnp.where(b == bm, seed & ~(prevN[bm] | curN[bm]
+                                           | pend[2 * bm + 1]), seed)
+        seed = jnp.where(b == bp, seed & ~(prevS[bp] | curS[bp]
+                                           | pend[2 * bp]), seed)
 
         def go(args):
             b, rnd = args
-            ns = visit(b, rnd)
-            # the first no-change sweep ends a visit, so ns == 1 means the
-            # visit found nothing to do — only real changes seed neighbors
-            @pl.when(ns > 1)
-            def _changed():
-                curv[b] = 1
+            return visit(b, rnd)
 
-            return ns
-
-        nswept = jax.lax.cond(seed != 0, go, lambda a: i32(0), (b, rnd))
+        nswept = jax.lax.cond((seed != 0) | (rnd == 0), go,
+                              lambda a: i32(0), (b, rnd))
         return rnd, total + nswept
 
     def round_body(carry):
@@ -784,9 +831,11 @@ def _kernel_wave(band, nbands, W, NW, max_rounds, max_sweeps,
         _, total = jax.lax.fori_loop(0, nbands, band_step, (rnd, total))
         anyc = i32(0)
         for b in range(nbands):
-            prevv[b] = curv[b]
-            anyc = anyc | curv[b] | pend[2 * b] | pend[2 * b + 1]
-            curv[b] = 0
+            prevN[b] = curN[b]
+            prevS[b] = curS[b]
+            anyc = anyc | curN[b] | curS[b] | pend[2 * b] | pend[2 * b + 1]
+            curN[b] = 0
+            curS[b] = 0
         return rnd + 1, total, anyc
 
     def loop_cond(carry):
@@ -860,6 +909,8 @@ def flow_solve_wave(code, area2d, mouth, grid: Grid, band: int = 0,
             pltpu.VMEM((band + 16, PW), jnp.float32),   # dvm
             pltpu.VMEM((2 * nbands, PW), jnp.float32),  # obox
             pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SMEM((nbands,), jnp.int32),
+            pltpu.SMEM((nbands,), jnp.int32),
             pltpu.SMEM((nbands,), jnp.int32),
             pltpu.SMEM((nbands,), jnp.int32),
             pltpu.SMEM((2 * nbands,), jnp.int32),

@@ -149,3 +149,71 @@ def test_diffusion_pallas_interpret_matches_xla():
                                np.asarray(xu) / scale, atol=2e-5)
     np.testing.assert_allclose(np.asarray(pv) / scale,
                                np.asarray(xv) / scale, atol=2e-5)
+
+
+def test_advect_tiered_interpret_matches_taps():
+    """Tiered sampler == plain hat taps wherever the strip radius covers
+    the displacement (interpret mode, small grid)."""
+    from demiurge_tpu.core.grid import Grid as G
+    from demiurge_tpu.pallas_kernels.advect import (advect_sample_tiered,
+                                                    strip_radii)
+    from demiurge_tpu.core.topology import _clamped_shift
+
+    grid, h, u, v = _setup(256, 128)
+    key = jax.random.PRNGKey(3)
+    s2 = jax.random.uniform(key, (128, 256)) * 0.004 + \
+        (jnp.arange(256).reshape(1, -1) + 0.5) / 256
+    t2 = (jnp.arange(128).reshape(-1, 1) + 0.5) / 128 + 0.001
+    W, H = 256, 128
+    c = jnp.arange(W, dtype=jnp.float32).reshape(1, -1)
+    r = jnp.arange(H, dtype=jnp.float32).reshape(-1, 1)
+    radii = strip_radii(grid, 1.0, 24.0)
+    rx = jnp.asarray(np.repeat(np.asarray(radii, np.float32), 32)
+                     ).reshape(-1, 1)
+    dx = jnp.clip(s2 * W - 0.5 - c, -rx, rx)
+    dy = jnp.broadcast_to(jnp.clip(t2 * H - 0.5 - r, -2, 2), (H, W))
+
+    tu, tv = advect_sample_tiered(u, v, dx, dy, grid, interpret=True)
+
+    # reference: plain hat-tap loop at a radius covering every strip's
+    # fine range (mid strips; polar strips compared only where |dx| <= 6,
+    # the hybrid kernel's exact branch)
+    uv = jnp.stack([u, v])
+    out = jnp.zeros_like(uv)
+    for ky in range(-2, 3):
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(dy - ky))
+        row = _clamped_shift(uv, ky, axis=1) if ky else uv
+        for kx in range(-16, 17):
+            w = wy * jnp.maximum(0.0, 1.0 - jnp.abs(dx - kx))
+            out = out + w * jnp.roll(row, -kx, axis=-1)
+    exact_cols = jnp.abs(dx) <= 6.0
+    np.testing.assert_allclose(np.where(exact_cols, np.asarray(tu), 0),
+                               np.where(exact_cols, np.asarray(out[0]), 0),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.where(exact_cols, np.asarray(tv), 0),
+                               np.where(exact_cols, np.asarray(out[1]), 0),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_flow_wave_interpret_matches_stencil():
+    """Delta-wave band solver reaches the stencil fixpoint (interpret)."""
+    from demiurge_tpu.ops import flow
+    from demiurge_tpu.ops.blur import blur
+    from demiurge_tpu.ops.noise import NoiseParams, fbm
+    from demiurge_tpu.pallas_kernels.flow import flow_solve_wave
+
+    from demiurge_tpu import Grid as G
+
+    grid = G(256, 128)
+    h = fbm(grid, NoiseParams(mode="default", octaves=4, scale=2.0,
+                              min=-2.0, max=3.0, seed=7))
+    sel = jnp.ones(grid.shape, jnp.float32)
+    hb = blur(h, grid, 0.5)
+    code = flow.flow_directions(hb, sel, grid)
+    _, mouth, _ = flow.incoming_mask(code, grid)
+    area = flow.cell_area_lower_edge(grid)
+    A0, vis0, _ = flow.flow_solve_stencil(code, area, mouth, grid)
+    A1, vis1 = flow_solve_wave(code, area, mouth, grid, interpret=True)
+    np.testing.assert_allclose(np.asarray(A0), np.asarray(A1),
+                               rtol=1e-5, atol=1e-7)
+    assert (np.asarray(vis0) == np.asarray(vis1)).all()
