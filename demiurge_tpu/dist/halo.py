@@ -2,11 +2,16 @@
 
 The GSPMD path (dist.mesh.sharded_jit) lets XLA insert a collective permute
 per stencil shift — one exchange per sweep.  For the deep iterative solvers
-(5000-iteration pressure Jacobi, 50-sweep viscosity) this module amortizes
+(pressure Jacobi, viscosity, flow accumulation) this module amortizes
 communication: exchange a K-wide halo once, run K sweeps locally on the
 padded block (validity shrinks one ring per sweep), repeat.  Communication
 volume drops K-fold and the interior compute overlaps with the next
 exchange in XLA's schedule.
+
+Halo hygiene: static per-sweep inputs (obstacle masks, metric terms, the
+divergence right-hand side) are folded into 5-point coefficient fields and
+halo-padded ONCE before the round loop; each round then exchanges exactly
+the iterated state (p, or u+v, or A+vis) — nothing else.
 
 Topology (reproducing core.topology.shift semantics exactly):
 - E/W: periodic ring over the dateline -> `ppermute` along 'x'
@@ -14,7 +19,9 @@ Topology (reproducing core.topology.shift semantics exactly):
 - polar caps: the rows "beyond" a pole are the same band's rows, flipped,
   at antipodal longitude — with an even number of x shards that is exactly
   the x-shard nx/2 away, so the cap is one more `ppermute` along 'x'
-  (selected only on the pole bands).
+  (selected only on the pole bands).  Crossing a pole reverses both the
+  walk direction (N/S coefficient roles swap in reflected halo rows) and
+  tangent vectors (velocity halos negate).
 """
 
 from __future__ import annotations
@@ -30,17 +37,22 @@ from jax import shard_map
 
 from ..core.grid import Grid
 
+_SPEC = P("y", "x")
+
 
 def _perm_ring(n, shiftv):
     return [(i, (i + shiftv) % n) for i in range(n)]
 
 
-def exchange_halo(block, k: int, grid: Grid, mesh: Mesh):
+def exchange_halo(block, k: int, grid: Grid, mesh: Mesh,
+                  negate_pole: bool = False):
     """Pad a local (h, w) block with k-wide halos from mesh neighbors.
 
     Must be called inside shard_map over mesh axes ('y','x').  Returns
     (h+2k, w+2k) padded block whose interior stencils (up to k rings deep)
-    match the single-device wrap topology exactly.
+    match the single-device wrap topology exactly.  ``negate_pole`` flips
+    the sign of pole-cap halo rows (velocity components reverse when the
+    geodesic walk crosses a pole, OceanCurrents.cpp:389/657).
     """
     ny = mesh.shape["y"]
     nx = mesh.shape["x"]
@@ -73,6 +85,9 @@ def exchange_halo(block, k: int, grid: Grid, mesh: Mesh):
     if grid.wrap_south or grid.wrap_north:
         head = jnp.flip(block[:k, :], axis=0)
         tail = jnp.flip(block[-k:, :], axis=0)
+        if negate_pole:
+            head = -head
+            tail = -tail
         if nx > 1:
             head = jax.lax.ppermute(head, "x", _perm_ring(nx, nx // 2))
             tail = jax.lax.ppermute(tail, "x", _perm_ring(nx, nx // 2))
@@ -88,88 +103,176 @@ def exchange_halo(block, k: int, grid: Grid, mesh: Mesh):
     return jnp.concatenate([south, block, north], axis=0)
 
 
-def _sweep_pressure(p, divw, oN, oS, oE, oW, oC, pw2x, pw2y, beta):
-    """One pressure-Jacobi sweep on a padded block (OceanCurrents.cpp:450-481
-    semantics; neighbor fetches are plain shifts on the padded arrays)."""
+def _swap_pole_rows(a, b, k, grid: Grid, mesh: Mesh):
+    """In pole-reflected halo rows, 'padded north' is 'sphere south': swap
+    an (N, S) coefficient pair there so halo rows' own sweep updates use
+    the right neighbor roles (must be called inside shard_map; a, b are
+    already halo-padded)."""
+    yi = jax.lax.axis_index("y")
+    ny = mesh.shape["y"]
+    rows = jnp.arange(a.shape[0]).reshape(-1, 1)
+    in_south_halo = (rows < k) & (yi == 0) & grid.wrap_south
+    in_north_halo = (rows >= a.shape[0] - k) & (yi == ny - 1) \
+        & grid.wrap_north
+    sw = in_south_halo | in_north_halo
+    return jnp.where(sw, b, a), jnp.where(sw, a, b)
+
+
+def _sweep5(p, cN, cS, cE, cW, cC, b):
+    """One folded 5-point sweep on a padded block: plain shifts."""
     pN = jnp.roll(p, -1, 0)
     pS = jnp.roll(p, 1, 0)
     pE = jnp.roll(p, -1, 1)
     pW = jnp.roll(p, 1, 1)
-    pN = jnp.where(oN, p, pN)
-    pS = jnp.where(oS, p, pS)
-    pE = jnp.where(oE, p, pE)
-    pW = jnp.where(oW, p, pW)
-    pnew = ((pW + pE) / pw2x + (pS + pN) / pw2y - divw) / beta
-    return jnp.where(oC, 0.0, pnew)
+    return cN * pN + cS * pS + cE * pE + cW * pW + cC * p + b
 
 
 @partial(jax.jit, static_argnames=("grid", "mesh", "iters", "k"))
 def pressure_solve_sharded(divw, terrain, grid: Grid, mesh: Mesh,
                            iters: int = 5000, k: int = 8):
-    """Distributed pressure Poisson solve: K sweeps per K-wide halo exchange.
+    """Distributed pressure Poisson solve: K sweeps per K-wide halo
+    exchange of p ONLY (coefficients are folded and padded once).
 
-    Produces the same fixpoint as ops.ocean.pressure_solve; transient
-    iterates match exactly in the block interiors (halo-deep rings recompute
-    identical values because the padded stencil sees the true neighbors).
+    Same fixpoint as ops.ocean.pressure_solve; transient iterates match
+    exactly in the block interiors (halo-deep rings recompute identical
+    values because the padded stencil sees the true neighbors).
     """
-    from ..core.topology import shift
+    from ..pallas_kernels.jacobi import _coefficients
 
-    H, W = grid.shape
-    ny, nx = mesh.shape["y"], mesh.shape["x"]
-    bh, bw = H // ny, W // nx
+    cN_g, cS_g, cE_g, cW_g, cC_g, b_g = _coefficients(divw, terrain, grid)
+    n_rounds = (iters + k - 1) // k
 
-    dxr, dyr = grid.pixelsize_rows()
-    pw2x_g = jnp.broadcast_to((dxr / 420.0) ** 2, grid.shape)
-    pw2y_g = jnp.broadcast_to((dyr / 420.0) ** 2 * jnp.ones_like(dxr),
-                              grid.shape)
+    def body(cN_b, cS_b, cE_b, cW_b, cC_b, b_b):
+        # pad the static coefficient fields once
+        cN = exchange_halo(cN_b, k, grid, mesh)
+        cS = exchange_halo(cS_b, k, grid, mesh)
+        cN, cS = _swap_pole_rows(cN, cS, k, grid, mesh)
+        cE = exchange_halo(cE_b, k, grid, mesh)
+        cW = exchange_halo(cW_b, k, grid, mesh)
+        cC = exchange_halo(cC_b, k, grid, mesh)
+        bb = exchange_halo(b_b, k, grid, mesh)
 
-    oN_g = shift(terrain, 0, 1, grid) > 0
-    oS_g = shift(terrain, 0, -1, grid) > 0
-    oE_g = shift(terrain, 1, 0, grid) > 0
-    oW_g = shift(terrain, -1, 0, grid) > 0
-    oC_g = terrain > 0
+        p = jnp.zeros_like(cN_b)
 
-    spec = P("y", "x")
-
-    def body(divw_b, oN_b, oS_b, oE_b, oW_b, oC_b, pw2x_b, pw2y_b):
-        p = jnp.zeros_like(divw_b)
-        n_rounds = (iters + k - 1) // k
-
-        yi = jax.lax.axis_index("y")
-        ny = mesh.shape["y"]
-
-        def swap_pole_rows(a, b):
-            """In pole-reflected halo rows, 'padded north' is 'sphere south':
-            the (oN, oS) pair must swap there so the halo rows' own sweep
-            updates use the right neighbor masks (same fix as the Pallas
-            kernel's _pad_coeff)."""
-            rows = jnp.arange(a.shape[0]).reshape(-1, 1)
-            in_south_halo = (rows < k) & (yi == 0) & grid.wrap_south
-            in_north_halo = (rows >= a.shape[0] - k) & (yi == ny - 1) \
-                & grid.wrap_north
-            sw = in_south_halo | in_north_halo
-            return jnp.where(sw, b, a), jnp.where(sw, a, b)
-
-        # pad the static fields once per round too (cheap, fused)
         def round_fn(p, _):
             pp = exchange_halo(p, k, grid, mesh)
-            dd = exchange_halo(divw_b, k, grid, mesh)
-            nN = exchange_halo(oN_b, k, grid, mesh)
-            nS = exchange_halo(oS_b, k, grid, mesh)
-            nN, nS = swap_pole_rows(nN, nS)
-            nE = exchange_halo(oE_b, k, grid, mesh)
-            nW = exchange_halo(oW_b, k, grid, mesh)
-            nC = exchange_halo(oC_b, k, grid, mesh)
-            x2 = exchange_halo(pw2x_b, k, grid, mesh)
-            y2 = exchange_halo(pw2y_b, k, grid, mesh)
-            beta = 2 * (1 / x2 + 1 / y2)
             for _ in range(k):
-                pp = _sweep_pressure(pp, dd, nN, nS, nE, nW, nC, x2, y2, beta)
+                pp = _sweep5(pp, cN, cS, cE, cW, cC, bb)
             return pp[k:-k, k:-k], None
 
         p, _ = jax.lax.scan(round_fn, p, None, length=n_rounds)
         return p
 
-    fn = shard_map(body, mesh=mesh,
-                   in_specs=(spec,) * 8, out_specs=spec)
-    return fn(divw, oN_g, oS_g, oE_g, oW_g, oC_g, pw2x_g, pw2y_g)
+    fn = shard_map(body, mesh=mesh, in_specs=(_SPEC,) * 6, out_specs=_SPEC)
+    return fn(cN_g, cS_g, cE_g, cW_g, cC_g, b_g)
+
+
+@partial(jax.jit, static_argnames=("grid", "mesh", "iters", "k"))
+def diffusion_solve_sharded(u, v, terrain, grid: Grid, mesh: Mesh,
+                            iters: int = 50, k: int = 10):
+    """Distributed implicit-viscosity solve (intent mode): K sweeps per
+    halo exchange of (u, v); coefficients padded once; velocity pole halos
+    sign-flipped.  Same fixpoint as ops.ocean.diffusion."""
+    from ..pallas_kernels.jacobi import _diffusion_coefficients
+
+    cN_g, cS_g, cE_g, cW_g, cC_g = _diffusion_coefficients(terrain, grid)
+    n_rounds = (iters + k - 1) // k
+    iters_rem = iters - (n_rounds - 1) * k  # last round runs the remainder
+
+    def body(u_b, v_b, cN_b, cS_b, cE_b, cW_b, cC_b):
+        cN = exchange_halo(cN_b, k, grid, mesh)
+        cS = exchange_halo(cS_b, k, grid, mesh)
+        cN, cS = _swap_pole_rows(cN, cS, k, grid, mesh)
+        cE = exchange_halo(cE_b, k, grid, mesh)
+        cW = exchange_halo(cW_b, k, grid, mesh)
+        cC = exchange_halo(cC_b, k, grid, mesh)
+        zb = jnp.zeros_like(cN)
+
+        def round_fn(carry, n_sw):
+            uu, vv = carry
+            up = exchange_halo(uu, k, grid, mesh, negate_pole=True)
+            vp = exchange_halo(vv, k, grid, mesh, negate_pole=True)
+            for i in range(k):
+                up2 = _sweep5(up, cN, cS, cE, cW, cC, zb)
+                vp2 = _sweep5(vp, cN, cS, cE, cW, cC, zb)
+                # exact sweep count: freeze once past this round's quota
+                up = jnp.where(i < n_sw, up2, up)
+                vp = jnp.where(i < n_sw, vp2, vp)
+            return (up[k:-k, k:-k], vp[k:-k, k:-k]), None
+
+        sw_counts = jnp.concatenate([
+            jnp.full((n_rounds - 1,), k, jnp.int32),
+            jnp.asarray([iters_rem], jnp.int32)])
+        (uu, vv), _ = jax.lax.scan(round_fn, (u_b, v_b), sw_counts)
+        return uu, vv
+
+    fn = shard_map(body, mesh=mesh, in_specs=(_SPEC,) * 7,
+                   out_specs=(_SPEC, _SPEC))
+    return fn(u, v, cN_g, cS_g, cE_g, cW_g, cC_g)
+
+
+@partial(jax.jit, static_argnames=("grid", "mesh", "k", "check_every",
+                                   "max_iters"))
+def flow_solve_sharded(code, area2d, mouth, grid: Grid, mesh: Mesh,
+                       k: int = 16, check_every: int = 1,
+                       max_iters: int = 1 << 20):
+    """Distributed flow accumulation + mouth reachability: K sweeps of the
+    (A, vis) relaxation per K-wide halo exchange; the packed direction
+    masks are padded once.  Same fixpoint as ops.flow.flow_solve_stencil
+    (the relaxation is monotone from below, so halo rings that go stale
+    between exchanges only delay convergence, never corrupt it — the
+    convergence test compares full rounds).
+
+    Returns (A, vis bool).
+    """
+    from ..pallas_kernels.flow import pack_masks, _SCAN_ORDER
+
+    packed_g = pack_masks(code, mouth, grid)
+    vis0_g = jnp.where(mouth, 1.0, 0.0)
+
+    def body(packed_b, area_b, vis0_b):
+        # flow's y topology clips at the grid edge (no pole wrap): the
+        # exchanged pole-cap halo rows carry values, but every cross-pole
+        # contribution bit is already masked off in `packed`, so their
+        # contents are never read.
+        packed = exchange_halo(packed_b, k, grid, mesh)
+        area = exchange_halo(area_b, k, grid, mesh)
+
+        def sweep(A, vis):
+            newA = area
+            newvis = jnp.where((packed & (1 << 16)) != 0, 1.0, 0.0)
+            for i, (dx, dy) in enumerate(_SCAN_ORDER):
+                Ad = jnp.roll(jnp.roll(A, -dy, 0), -dx, 1)
+                vd = jnp.roll(jnp.roll(vis, -dy, 0), -dx, 1)
+                newA = newA + jnp.where((packed & (1 << i)) != 0, Ad, 0.0)
+                newvis = jnp.maximum(
+                    newvis,
+                    jnp.where((packed & (1 << (8 + i))) != 0, vd, 0.0))
+            return newA, newvis
+
+        def round_fn(carry):
+            A, vis, it, _ = carry
+            Ap = exchange_halo(A, k, grid, mesh)
+            vp = exchange_halo(vis, k, grid, mesh)
+            for _ in range(k):
+                Ap, vp = sweep(Ap, vp)
+            A2 = Ap[k:-k, k:-k]
+            v2 = vp[k:-k, k:-k]
+            changed = jnp.any((A2 != A) | (v2 != vis))
+            # replicated convergence flag (max over shards)
+            changed = jax.lax.pmax(jax.lax.pmax(changed, "x"), "y")
+            return A2, v2, it + k, changed
+
+        def cond(carry):
+            _, _, it, changed = carry
+            return changed & (it < max_iters)
+
+        A, vis, _, _ = jax.lax.while_loop(
+            cond, round_fn,
+            (area_b, vis0_b, jnp.int32(0), jnp.asarray(True)))
+        return A, vis
+
+    fn = shard_map(body, mesh=mesh, in_specs=(_SPEC,) * 3,
+                   out_specs=(_SPEC, _SPEC))
+    A, vis = fn(packed_g, area2d, vis0_g)
+    return A, vis > 0.5

@@ -69,9 +69,14 @@ def init_coupled(height, grid: Grid, cfg: CoupledConfig = CoupledConfig()):
     )
 
 
-@partial(jax.jit, static_argnames=("grid", "cfg"))
+@partial(jax.jit, static_argnames=("grid", "cfg", "mesh"))
 def coupled_step(state: CoupledState, grid: Grid,
-                 cfg: CoupledConfig = CoupledConfig()) -> CoupledState:
+                 cfg: CoupledConfig = CoupledConfig(),
+                 mesh=None) -> CoupledState:
+    """``mesh``: optional Mesh('y','x') — routes the iterative solvers
+    (viscosity, pressure, flow accumulation) through the amortized
+    explicit-halo shard_map path (dist.halo) instead of one GSPMD
+    collective per sweep."""
     h = state.height
 
     # climate
@@ -81,12 +86,13 @@ def coupled_step(state: CoupledState, grid: Grid,
     )
 
     # ocean
-    u, v, _, _ = ocean.ocean_step(state.u, state.v, h, grid, cfg.ocean)
+    u, v, _, _ = ocean.ocean_step(state.u, state.v, h, grid, cfg.ocean,
+                                  mesh=mesh)
 
     # erosion (device-only flow path)
     fm = flow.flow_filter_device(h, state.sel, grid,
                                  exponent=cfg.flow_exponent,
-                                 preblur=cfg.flow_preblur)
+                                 preblur=cfg.flow_preblur, mesh=mesh)
     h = erosion.erosion_pass(h, fm, state.uplift, grid,
                              cfg.erosion_factor, cfg.erosion_slope_exponent)
 

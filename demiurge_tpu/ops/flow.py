@@ -616,9 +616,9 @@ def solve_lakes_numpy(mask, mouth, height, parent, grid: Grid) -> LakeSolution:
     return LakeSolution(conn_from, conn_to, conn_h, lake_wh)
 
 
-@partial(jax.jit, static_argnames=("grid", "exponent", "preblur"))
+@partial(jax.jit, static_argnames=("grid", "exponent", "preblur", "mesh"))
 def flow_filter_device(height, sel, grid: Grid, exponent: float = 0.5,
-                       preblur: float = 0.5):
+                       preblur: float = 0.5, mesh=None):
     """Fully-jittable flow accumulation without the host lake-merge stage.
 
     Identical to :func:`flow_filter` with ``lakes=False`` except that
@@ -632,6 +632,12 @@ def flow_filter_device(height, sel, grid: Grid, exponent: float = 0.5,
     code = flow_directions(hb, sel, grid)
     _, mouth, interesting = incoming_mask(code, grid)
     area = cell_area_lower_edge(grid)
+
+    if mesh is not None and grid.wrap_x:
+        from ..dist.halo import flow_solve_sharded
+
+        acc, vis = flow_solve_sharded(code, area, mouth, grid, mesh)
+        return jnp.where(vis, jnp.power(acc, exponent), -1.0)
 
     if jax.default_backend() == "tpu" and jax.device_count() == 1:
         from ..pallas_kernels.flow import (flow_solve_pallas,

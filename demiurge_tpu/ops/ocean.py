@@ -40,6 +40,7 @@ from __future__ import annotations
 import dataclasses
 import math
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -318,8 +319,12 @@ def _use_pallas_pressure(grid: Grid, cfg: OceanConfig) -> bool:
                 f"pressure_method='pallas' needs 128-divisible grid, got "
                 f"{grid.shape}")
         return True
-    # auto: pallas only on TPU (the CPU pallas lowering is slower than XLA)
-    return bandable and jax.default_backend() == "tpu"
+    # auto: pallas only on a SINGLE TPU (the CPU pallas lowering is slower
+    # than XLA, and the single-core kernel would force replication of
+    # sharded arrays on a multi-chip mesh — distributed runs route through
+    # dist.halo via the ``mesh`` argument instead)
+    return (bandable and jax.default_backend() == "tpu"
+            and jax.device_count() == 1)
 
 
 def _pole_flip_mask(dy: int, grid: Grid):
@@ -345,8 +350,16 @@ def _neighbor_vec(u, v, dx, dy, grid: Grid):
     return nu, nv
 
 
-def diffusion(u, v, terrain, grid: Grid, cfg: OceanConfig):
-    """Implicit-viscosity Jacobi sweeps (OceanCurrents.cpp:625-708)."""
+def diffusion(u, v, terrain, grid: Grid, cfg: OceanConfig, mesh=None):
+    """Implicit-viscosity Jacobi sweeps (OceanCurrents.cpp:625-708).
+
+    Under a ``mesh`` (and intent mode), routes to the amortized
+    halo-exchange solver (dist.halo.diffusion_solve_sharded)."""
+    if mesh is not None and not cfg.exact_quirks and grid.wrap_x:
+        from ..dist.halo import diffusion_solve_sharded
+
+        return diffusion_solve_sharded(u, v, terrain, grid, mesh,
+                                       iters=cfg.diffusion_iters)
     if (not cfg.exact_quirks and jax.default_backend() == "tpu"
             and jax.device_count() == 1):
         from ..pallas_kernels.jacobi import (diffusion_solve_pallas,
@@ -416,12 +429,19 @@ def divergence(u, v, terrain, grid: Grid, cfg: OceanConfig):
 
 
 def pressure_solve(divw, terrain, grid: Grid, cfg: OceanConfig,
-                   p0=None):
+                   p0=None, mesh=None):
     """Jacobi Poisson solve for pressure (OceanCurrents.cpp:437-509).
 
     Starts from zero (the reference zeroes pressure each step); pass ``p0``
-    to warm-start (intent-mode speedup, identical fixed point).
+    to warm-start (intent-mode speedup, identical fixed point).  Under a
+    ``mesh``, routes to the amortized halo-exchange solver
+    (dist.halo.pressure_solve_sharded).
     """
+    if mesh is not None and grid.wrap_x and p0 is None:
+        from ..dist.halo import pressure_solve_sharded
+
+        return pressure_solve_sharded(divw, terrain, grid, mesh,
+                                      iters=cfg.jacobi_iters)
     dxr, dyr = grid.pixelsize_rows()
     pw2x = (dxr / 420.0) ** 2
     pw2y = (dyr / 420.0) ** 2
@@ -522,13 +542,18 @@ def project(u, v, p, terrain, grid: Grid, cfg: OceanConfig):
     return fu, fv
 
 
-@partial(jax.jit, static_argnames=("grid", "cfg"))
-def ocean_step(u, v, terrain, grid: Grid, cfg: OceanConfig = OceanConfig()):
-    """One full outer step (OceanCurrents.cpp:155-211). Returns (u, v, p, div)."""
+@partial(jax.jit, static_argnames=("grid", "cfg", "mesh"))
+def ocean_step(u, v, terrain, grid: Grid, cfg: OceanConfig = OceanConfig(),
+               mesh=None):
+    """One full outer step (OceanCurrents.cpp:155-211). Returns (u, v, p, div).
+
+    ``mesh``: optional jax.sharding.Mesh('y','x') — the iterative solvers
+    then run through the amortized explicit-halo path (dist.halo) instead
+    of one GSPMD collective per sweep; the single-pass ops stay GSPMD."""
     u, v = advect(u, v, terrain, grid, cfg)
-    u, v = diffusion(u, v, terrain, grid, cfg)
+    u, v = diffusion(u, v, terrain, grid, cfg, mesh=mesh)
     div = divergence(u, v, terrain, grid, cfg)
-    p = pressure_solve(div, terrain, grid, cfg)
+    p = pressure_solve(div, terrain, grid, cfg, mesh=mesh)
     u, v = project(u, v, p, terrain, grid, cfg)
     return u, v, p, div
 

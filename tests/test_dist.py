@@ -109,3 +109,65 @@ def test_coupled_step_gspmd_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(getattr(out, name)), np.asarray(getattr(ref, name)),
             rtol=2e-5, atol=1e-5, err_msg=name)
+
+
+@requires_8
+def test_sharded_diffusion_matches_single_device():
+    from demiurge_tpu.ops.ocean import OceanConfig
+
+    g = Grid(256, 128)
+    mesh = make_mesh(8, shape=(2, 4))
+    h = terrain(g)
+    oc = OceanConfig(jacobi_iters=8, diffusion_iters=20)
+    u0, v0 = ocean.init_ocean(g)
+    u1, v1 = ocean.advect(u0, v0, h, g, oc)
+    du, dv = ocean.diffusion(u1, v1, h, g, oc)
+    s = field_sharding(mesh)
+    du2, dv2 = ocean.diffusion(jax.device_put(u1, s), jax.device_put(v1, s),
+                               jax.device_put(h, s), g, oc, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(du), np.asarray(du2),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv2),
+                               rtol=1e-5, atol=1e-6)
+
+
+@requires_8
+def test_sharded_flow_matches_single_device():
+    """Amortized sharded flow accumulation == stencil fixpoint (bitwise)."""
+    from demiurge_tpu.ops import flow
+
+    g = Grid(256, 128)
+    mesh = make_mesh(8, shape=(2, 4))
+    h = terrain(g)
+    sel = jnp.ones(g.shape, jnp.float32)
+    f0 = flow.flow_filter_device(h, sel, g)
+    s = field_sharding(mesh)
+    f1 = flow.flow_filter_device(jax.device_put(h, s),
+                                 jax.device_put(sel, s), g, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
+
+
+@requires_8
+def test_coupled_step_mesh_arg_matches_single_device():
+    """coupled_step(mesh=...) — the amortized explicit-halo production
+    path — matches the single-device step."""
+    from demiurge_tpu.ops.ocean import OceanConfig
+
+    g = Grid(256, 128)
+    mesh = make_mesh(8, shape=(2, 4))
+    h = terrain(g)
+    cfg = CoupledConfig(climate_substeps=2,
+                        ocean=OceanConfig(jacobi_iters=16, diffusion_iters=5))
+    st = init_coupled(h, g)
+    o0 = coupled_step(st, g, cfg)
+    s = field_sharding(mesh)
+    sts = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, s) if getattr(x, "ndim", 0) == 2 else x,
+        st)
+    o1 = coupled_step(sts, g, cfg, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(o0.height),
+                                  np.asarray(o1.height))
+    np.testing.assert_array_equal(np.asarray(o0.temperature),
+                                  np.asarray(o1.temperature))
+    np.testing.assert_allclose(np.asarray(o0.u), np.asarray(o1.u),
+                               rtol=1e-5, atol=1e-6)

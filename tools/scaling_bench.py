@@ -112,7 +112,10 @@ def main():
             lambda a: jax.device_put(a, s if getattr(a, "ndim", 0) == 2
                                      else rep), state)
 
-        step = jax.jit(lambda st: coupled_step(st, grid, cfg))
+        # mesh=... : the amortized explicit-halo path (dist.halo) — the
+        # production multi-chip configuration (GSPMD handles the rest)
+        step = jax.jit(lambda st: coupled_step(st, grid, cfg,
+                                               mesh=mesh if n > 1 else None))
         state = step(state)
         jax.block_until_ready(state)
         float(jnp.asarray(state.height).ravel()[0])
