@@ -212,6 +212,78 @@ class Graticules:
 
 
 @dataclasses.dataclass(frozen=True)
+class BrushOutline:
+    """Shader.h:216-228: anti-aliased geodesic circle around the brush.
+
+    ``center`` is the brush position in texture coords (s, t); ``size`` the
+    brush radius in x-pixel units (the reference's geodistance scaling).
+    The reference anti-aliases with the screen-space footprint
+    2*|(dFdx r, dFdy r)|; on the raw grid we use the per-pixel geodistance
+    gradient."""
+
+    center: Tuple[float, float] = (0.5, 0.5)
+    size: float = 30.0
+
+    def __call__(self, img, height, grid: Grid):
+        H, W = grid.shape
+        s = (jnp.arange(W, dtype=jnp.float32).reshape(1, -1) + 0.5) / W
+        t = (jnp.arange(H, dtype=jnp.float32).reshape(-1, 1) + 0.5) / H
+        s = jnp.broadcast_to(s, grid.shape)
+        t = jnp.broadcast_to(t, grid.shape)
+        r = grid.geodistance_tex((s, t), self.center)
+        # footprint: 2*length((dr/dx, dr/dy)) via one-pixel differences
+        drx = jnp.abs(jnp.roll(r, -1, 1) - r)
+        dry = jnp.abs(jnp.roll(r, -1, 0) - r)
+        delta = 2.0 * jnp.sqrt(drx * drx + dry * dry)
+        on = (r < self.size) & (r > self.size - delta)
+        w = jnp.abs(r - (self.size - 0.5 * delta)) / jnp.maximum(
+            0.5 * delta, 1e-9)
+        white = jnp.asarray([1.0, 1.0, 1.0, 0.0])
+        mixed = img * w[..., None] + white * (1.0 - w)[..., None]
+        return jnp.where(on[..., None], mixed, img)
+
+
+@dataclasses.dataclass(frozen=True)
+class SelectionOutline:
+    """Shader.h:259-275: marching-ants selection boundary.
+
+    A pixel is outlined where the binary selection differs between its x
+    or y neighbors; the dash pattern is the reference's
+    ``round(mod(px/8 - py/8 + t, 1))`` in grid-pixel coordinates, animated
+    by ``time``."""
+
+    sel: object = None          # (H, W) selection field
+    time: float = 0.0
+
+    def __call__(self, img, height, grid: Grid):
+        sel = self.sel
+        assert sel is not None, "SelectionOutline needs the selection field"
+        b = sel != 0.0
+        ex = jnp.roll(b, -1, 1) != jnp.roll(b, 1, 1)
+        ey = jnp.roll(b, -1, 0) != jnp.roll(b, 1, 0)
+        on = ex | ey
+        H, W = grid.shape
+        px = jnp.arange(W, dtype=jnp.float32).reshape(1, -1)
+        py = jnp.arange(H, dtype=jnp.float32).reshape(-1, 1)
+        test = jnp.round(jnp.mod(px / 8 - py / 8 + self.time, 1.0))
+        test = jnp.broadcast_to(test, grid.shape)
+        ants = jnp.stack([test, test, test, jnp.zeros_like(test)], -1)
+        return jnp.where(on[..., None], ants, img)
+
+
+@dataclasses.dataclass(frozen=True)
+class UnselectedDim:
+    """FreeSelection.cpp:182-188: darken unselected pixels by 25% while a
+    selection tool is active (the live lasso preview)."""
+
+    sel: object = None          # (H, W) in-progress selection (scratch1)
+
+    def __call__(self, img, height, grid: Grid):
+        overlay = (1.0 - jnp.clip(self.sel, 0.0, 1.0)) * 0.25
+        return img * (1.0 - overlay)[..., None]
+
+
+@dataclasses.dataclass(frozen=True)
 class VectorField:
     """VectorField.cpp:9-148: arrow glyphs for a velocity field.
 

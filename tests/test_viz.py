@@ -170,3 +170,45 @@ def test_vector_field_draws_arrows():
     img = render(h, g, [appearance.ElevationMap(),
                         appearance.VectorField(spacing=8)], uv=(u, v))
     assert float(jnp.abs(img - base).max()) > 0
+
+
+def test_overlay_layers():
+    """Brush-circle / selection-outline / darken-unselected overlays
+    (Shader.h:216-275, FreeSelection.cpp:182-188)."""
+    from demiurge_tpu.viz.appearance import (BrushOutline, ElevationMap,
+                                             SelectionOutline, UnselectedDim,
+                                             render)
+
+    g = Grid(64, 32)
+    h = jnp.ones(g.shape) * 0.5
+    sel = jnp.zeros(g.shape).at[8:24, 16:48].set(1.0)
+
+    base = render(h, g, layers=[ElevationMap()])
+    bo = render(h, g, layers=[ElevationMap(),
+                              BrushOutline(center=(0.5, 0.5), size=8.0)])
+    # the outline ring changes some pixels near the center, not all
+    changed = np.any(np.asarray(base) != np.asarray(bo), axis=-1)
+    assert changed.any() and not changed.all()
+    # ring pixels are at geodistance ~ size
+    ys, xs = np.nonzero(changed)
+    s = (xs + 0.5) / 64
+    t = (ys + 0.5) / 32
+    r = np.asarray(g.geodistance_tex((jnp.asarray(s), jnp.asarray(t)),
+                                     (0.5, 0.5)))
+    assert (np.abs(r - 8.0) < 3.0).all()
+
+    so = render(h, g, layers=[ElevationMap(), SelectionOutline(sel=sel)])
+    changed = np.any(np.asarray(base) != np.asarray(so), axis=-1)
+    # outline only at the selection boundary (within 1 px of an edge)
+    bsel = np.asarray(sel) != 0
+    edge = (np.roll(bsel, -1, 1) != np.roll(bsel, 1, 1)) | \
+           (np.roll(bsel, -1, 0) != np.roll(bsel, 1, 0))
+    assert changed[edge].sum() > 0
+    assert not changed[~edge].any()
+
+    dim = render(h, g, layers=[ElevationMap(), UnselectedDim(sel=sel)])
+    d = np.asarray(dim)
+    b = np.asarray(base)
+    inside = np.asarray(sel) > 0
+    np.testing.assert_allclose(d[inside], b[inside], atol=1e-6)
+    assert (d[~inside][..., :3] <= b[~inside][..., :3] + 1e-6).all()
