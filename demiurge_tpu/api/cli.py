@@ -133,15 +133,15 @@ def main(argv=None):
             _finish(args, grid, h, logger)
 
         elif args.cmd == "tectonic-erosion":
-            from ..ops import erosion, tectonics
+            from ..ops import erosion
 
             h = _terrain(grid, args.seed)
-            plates, h2 = tectonics.run_tectonics(
-                h, grid, tectonics.TectonicsConfig(steps=min(args.steps, 70)))
             sel = jnp.ones(grid.shape)
-            h3 = erosion.landscape_evolution(
-                h2, sel, grid, erosion.ErosionConfig(lakes=True),
-                iterations=max(args.steps - 70, 10),
+            # live coupling: tectonic uplift forcing refreshed during the
+            # evolution loop (not the reference's sequential chain)
+            h3 = erosion.coupled_tectonic_erosion(
+                h, sel, grid, erosion.ErosionConfig(lakes=True),
+                iterations=args.steps, tectonic_every=5,
                 callback=lambda i, hh: logger.log(i, mass=M.mass(hh, grid)))
             _finish(args, grid, h3, logger)
 

@@ -75,6 +75,47 @@ def erosion_pass(h, flow_map, uplift, grid: Grid, factor, slope_exponent):
     return jnp.where(h <= 0, h, hnew)
 
 
+def coupled_tectonic_erosion(height, sel, grid: Grid,
+                             cfg: "ErosionConfig" = None,
+                             tcfg=None,
+                             iterations: int = None,
+                             tectonic_every: int = 5,
+                             callback=None):
+    """Config-2 coupling: tectonic uplift forcing LIVE during landscape
+    evolution — every ``tectonic_every`` erosion iterations the plate
+    system advances one step and the collision-driven orogeny field
+    replaces the static uplift forcing (added to the stream-power base
+    uplift U = max(h,0)/50, cpufilter.cpp:42-64).  This is the intent of
+    "coupled tectonic uplift + erosion" rather than the reference's
+    sequential 70-steps-then-erode chain.
+
+    Returns the evolved heightfield.
+    """
+    from . import tectonics
+
+    if cfg is None:
+        cfg = ErosionConfig()
+    if tcfg is None:
+        tcfg = tectonics.TectonicsConfig()
+    if iterations is None:
+        iterations = cfg.iterations
+
+    stack = tectonics.init_plate_stack(height, grid)
+    uplift0, h = init_uplift(height, cfg)
+    uplift = uplift0
+    fcfg = FlowConfig(preblur=0.5, exponent=cfg.exponent, lakes=cfg.lakes)
+    for i in range(iterations):
+        if i % tectonic_every == 0:
+            stack, tup = tectonics.tectonic_uplift(stack, grid, tcfg)
+            uplift = uplift0 + tup
+        flow_map = flow_filter(h, sel, grid, fcfg)
+        h = erosion_pass(h, flow_map, uplift, grid,
+                         cfg.factor, cfg.slope_exponent)
+        if callback is not None:
+            callback(i, h)
+    return h
+
+
 def landscape_evolution(height, sel, grid: Grid,
                         cfg: ErosionConfig = ErosionConfig(),
                         iterations: int = None,

@@ -138,13 +138,17 @@ def _rotated_sample(field4, R, grid: Grid):
 def fold(plates: List[Plate], grid: Grid):
     """World state [plate index, height, age, collision] (Tectonics.cpp:
     99-153, 278-293)."""
+    return _fold_impl([p.field for p in plates],
+                      [jnp.asarray(p.rotation) for p in plates], grid)
+
+
+def _fold_impl(fields, rotations, grid: Grid):
     H, W = grid.shape
     world = jnp.broadcast_to(
         jnp.asarray([0.0, -1.0, -1.0, -1.1e6], jnp.float32), (H, W, 4))
 
-    for index, plate in enumerate(plates, start=1):
-        R = jnp.asarray(plate.rotation)
-        p = _rotated_sample(plate.field, R, grid)
+    for index, (field, R) in enumerate(zip(fields, rotations), start=1):
+        p = _rotated_sample(field, R, grid)
         plate_h = p[..., 0]
         plate_age = p[..., 1]
         prev_h = world[..., 1]
@@ -233,12 +237,18 @@ def collision(world, plates: List[Plate], grid: Grid):
     """Convergence + propagation (Tectonics.cpp:399-614).
 
     Returns (H, W, 4) = [distance, plate index, theta, phi]."""
+    return _collision_impl(
+        world, [jnp.asarray(p.angular_velocity) for p in plates], grid)
+
+
+def _collision_impl(world, angvels, grid: Grid):
     H, W = grid.shape
     # velocity field: angular velocity of the owning plate (431-442)
     vel = jnp.zeros((H, W, 4), jnp.float32)
-    for index, plate in enumerate(plates, start=1):
+    for index, w3 in enumerate(angvels, start=1):
         mine = world[..., 0] == index
-        w = jnp.asarray(list(plate.angular_velocity) + [0.0], jnp.float32)
+        w = jnp.concatenate([jnp.asarray(w3, jnp.float32),
+                             jnp.zeros((1,), jnp.float32)])
         vel = jnp.where(mine[..., None], w, vel)
 
     # convergence at boundaries (445-529)
@@ -338,14 +348,23 @@ def collision(world, plates: List[Plate], grid: Grid):
 
 def unfold(world, plates: List[Plate], grid: Grid):
     """Back to plate frames (Tectonics.cpp:216-268). Mutates plate fields."""
+    new_fields = _unfold_impl(world, [p.field for p in plates],
+                              [jnp.asarray(p.rotation) for p in plates], grid)
+    for plate, nf in zip(plates, new_fields):
+        plate.field = nf
+    return plates
+
+
+def _unfold_impl(world, fields, rotations, grid: Grid):
     phi = grid.row_phi()
     inv_cos = 1.0 / jnp.cos(jnp.abs(phi))
 
-    for index, plate in enumerate(plates, start=1):
-        Rinv = jnp.asarray(plate.rotation.T)
+    out = []
+    for index, (field, R) in enumerate(zip(fields, rotations), start=1):
+        Rinv = jnp.swapaxes(R, -1, -2)
         a = _rotated_sample(world, Rinv, grid)
 
-        fc = plate.field
+        fc = field
         age = fc[..., 1]
         fc = fc.at[..., 1].set(jnp.where(age >= 0, age + 0.01, age))
 
@@ -372,8 +391,8 @@ def unfold(world, plates: List[Plate], grid: Grid):
         fc = jnp.where(new[..., None],
                        jnp.asarray([-float(index), 1.0, 0.0, 0.0],
                                    jnp.float32), fc)
-        plate.field = fc
-    return plates
+        out.append(fc)
+    return out
 
 
 @dataclasses.dataclass(frozen=True)
@@ -426,3 +445,105 @@ def run_tectonics(height, grid: Grid, cfg: TectonicsConfig = TectonicsConfig(),
     for _ in range(cfg.steps):
         plates, terrain = tectonics_step(plates, grid, cfg)
     return plates, terrain
+
+
+# ---------------------------------------------------------------------------
+# jittable stacked form: plates as one pytree, rotations as traced state
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PlateStack:
+    """All plates as one pytree — the scalable form of the mutable
+    ``Plate`` list: ``fields`` (P, H, W, 4) in plate-local frames,
+    ``rotations`` (P, 3, 3) accumulated (traced, advanced in-step), and
+    ``angvel`` (P, 3) constant angular velocities.  The whole step jits
+    end-to-end and shards with P(None, 'y', 'x') under GSPMD."""
+
+    fields: jax.Array
+    rotations: jax.Array
+    angvel: jax.Array
+
+    @property
+    def n_plates(self) -> int:
+        return self.fields.shape[0]
+
+
+def plate_stack(plates: List[Plate]) -> PlateStack:
+    return PlateStack(
+        fields=jnp.stack([p.field for p in plates]),
+        rotations=jnp.stack([jnp.asarray(p.rotation) for p in plates]),
+        angvel=jnp.stack([jnp.asarray(p.angular_velocity) for p in plates]),
+    )
+
+
+def init_plate_stack(height, grid: Grid) -> PlateStack:
+    return plate_stack(init_plates(height, grid))
+
+
+def _axis_angle_jnp(w):
+    """(3,) angular velocity -> rotation matrix by |w| about w/|w| (jnp;
+    identity for |w| = 0)."""
+    n = jnp.sqrt(jnp.sum(w * w))
+    safe = jnp.maximum(n, 1e-20)
+    ux, uy, uz = w[0] / safe, w[1] / safe, w[2] / safe
+    c, s = jnp.cos(n), jnp.sin(n)
+    omc = 1 - c
+    R = jnp.stack([
+        jnp.stack([c + ux * ux * omc, ux * uy * omc - uz * s,
+                   ux * uz * omc + uy * s]),
+        jnp.stack([uy * ux * omc + uz * s, c + uy * uy * omc,
+                   uy * uz * omc - ux * s]),
+        jnp.stack([uz * ux * omc - uy * s, uz * uy * omc + ux * s,
+                   c + uz * uz * omc]),
+    ])
+    return jnp.where(n > 0, R, jnp.eye(3, dtype=w.dtype))
+
+
+@partial(jax.jit, static_argnames=("grid", "cfg"))
+def tectonics_step_stacked(stack: PlateStack, grid: Grid,
+                           cfg: TectonicsConfig = TectonicsConfig()):
+    """One full tectonics step, fully jitted (rotations advance as traced
+    state).  Returns (stack, terrain).  Same passes and numerics as
+    :func:`tectonics_step`."""
+    P = stack.n_plates
+    rot = stack.rotations @ jax.vmap(_axis_angle_jnp)(stack.angvel)
+
+    fields = [stack.fields[i] for i in range(P)]
+    rotations = [rot[i] for i in range(P)]
+    angvels = [stack.angvel[i] for i in range(P)]
+
+    world = _fold_impl(fields, rotations, grid)
+    world = ocean_spreading(world, grid)
+    coll = _collision_impl(world, angvels, grid)
+    terrain = render_terrain(world, coll, grid, cfg)
+    new_fields = _unfold_impl(world, fields, rotations, grid)
+    return PlateStack(fields=jnp.stack(new_fields), rotations=rot,
+                      angvel=stack.angvel), terrain
+
+
+@partial(jax.jit, static_argnames=("grid", "cfg"))
+def tectonic_uplift(stack: PlateStack, grid: Grid,
+                    cfg: TectonicsConfig = TectonicsConfig()):
+    """Collision-driven orogeny uplift field for live erosion forcing
+    (the distance-falloff term of render_terrain's intent mode), scaled to
+    the stream-power convention U = h/50 (cpufilter.cpp:42-64).
+
+    Advances the stack one step; returns (stack, uplift)."""
+    P = stack.n_plates
+    rot = stack.rotations @ jax.vmap(_axis_angle_jnp)(stack.angvel)
+    fields = [stack.fields[i] for i in range(P)]
+    rotations = [rot[i] for i in range(P)]
+    angvels = [stack.angvel[i] for i in range(P)]
+
+    world = _fold_impl(fields, rotations, grid)
+    world = ocean_spreading(world, grid)
+    coll = _collision_impl(world, angvels, grid)
+    dist = coll[..., 0]
+    uplift = jnp.where(dist < 1e6,
+                       jnp.maximum(0.0, 1.0 - dist / cfg.uplift_range), 0.0)
+    new_fields = _unfold_impl(world, fields, rotations, grid)
+    return (PlateStack(fields=jnp.stack(new_fields), rotations=rot,
+                       angvel=stack.angvel),
+            cfg.uplift_scale * uplift / 50.0)

@@ -98,3 +98,77 @@ def test_directional_pid_finds_steps():
     idx = np.arange(16 * 32).reshape(16, 32)
     # pixels in the flat west half point east toward the step
     assert (pid[:, 10:15] != idx[:, 10:15]).any()
+
+
+def test_tectonics_stacked_matches_legacy():
+    """The jitted PlateStack step == the mutable-Plate step."""
+    g = Grid(64, 32)
+    h = terrain(g)
+    plates = tectonics.init_plates(h, g)
+    stack = tectonics.plate_stack(plates)
+
+    def mostly_equal(a, b, frac=0.005):
+        # NEAREST-sampled fields: f32 trig differences between the numpy
+        # and traced rotation matrices can flip isolated boundary pixels
+        a, b = np.asarray(a), np.asarray(b)
+        bad = ~np.isclose(a, b, rtol=1e-5, atol=1e-5)
+        assert bad.mean() <= frac, (bad.mean(), np.abs(a - b).max())
+
+    p_l, terr_l = tectonics.tectonics_step(plates, g)
+    stack, terr_s = tectonics.tectonics_step_stacked(stack, g)
+    mostly_equal(terr_l, terr_s)
+    for i, p in enumerate(p_l):
+        mostly_equal(p.field, stack.fields[i])
+        np.testing.assert_allclose(np.asarray(p.rotation),
+                                   np.asarray(stack.rotations[i]),
+                                   rtol=1e-5, atol=1e-6)
+
+    # second step keeps agreeing (rotations accumulate as traced state)
+    p_l, terr_l = tectonics.tectonics_step(p_l, g)
+    stack, terr_s = tectonics.tectonics_step_stacked(stack, g)
+    mostly_equal(terr_l, terr_s)
+
+
+def test_tectonics_stacked_gspmd_matches_single_device():
+    """Sharded PlateStack step == single-device (8-device CPU mesh)."""
+    import jax
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from demiurge_tpu.dist import make_mesh
+
+    g = Grid(64, 32)
+    h = terrain(g)
+    mesh = make_mesh(8, shape=(2, 4))
+    stack = tectonics.init_plate_stack(h, g)
+    _, terr0 = tectonics.tectonics_step_stacked(stack, g)
+
+    s4 = NamedSharding(mesh, P(None, "y", "x", None))
+    rep = NamedSharding(mesh, P())
+    sharded = tectonics.PlateStack(
+        fields=jax.device_put(stack.fields, s4),
+        rotations=jax.device_put(stack.rotations, rep),
+        angvel=jax.device_put(stack.angvel, rep))
+    _, terr1 = tectonics.tectonics_step_stacked(sharded, g)
+    np.testing.assert_allclose(np.asarray(terr0), np.asarray(terr1),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_coupled_tectonic_erosion_runs():
+    """Config-2 live coupling: uplift forcing refreshes during evolution."""
+    from demiurge_tpu.ops import erosion
+
+    g = Grid(64, 32)
+    h = terrain(g)
+    sel = jnp.ones(g.shape, jnp.float32)
+    out = erosion.coupled_tectonic_erosion(
+        h, sel, g, erosion.ErosionConfig(lakes=False), iterations=4,
+        tectonic_every=2)
+    assert out.shape == g.shape
+    assert bool(jnp.isfinite(out).all())
+    # the tectonic forcing must actually change the result vs static uplift
+    base = erosion.landscape_evolution(h, sel, g,
+                                       erosion.ErosionConfig(lakes=False),
+                                       iterations=4)
+    assert float(jnp.abs(out - base).max()) > 0
