@@ -562,104 +562,139 @@ def flow_solve_fused(code, area2d, mouth, grid: Grid, k: int = 16,
 # a wavefront that genuinely spans the seam falls back to full width via
 # the range test.  y layout: 8-row zero halos at the global edges for DMA
 # sublane alignment (contents masked off by pack_masks' y-clip rules).
+#
+# Measured verdict (2048x1024, v5e): the wave kernel converges in 8 rounds
+# / ~4200 band-sweeps but does NOT beat the K-capped A-form kernel
+# (flow_solve_pallas) — D8 activity is spatially DIFFUSE (cells with
+# remaining depth >= 64 spread over every 64x128 tile), so window/bitmap
+# skipping cannot track the real sparsity, and every sweep formulation
+# pays ~(sum of per-band depths) x (band area) of vector work plus
+# per-sweep scalar overhead.  Pointer doubling (the sub-linear
+# alternative) measures 970 ms — TPU gathers run ~50x below HBM speed.
+# flow_filter_device therefore stays on flow_solve_pallas; this kernel is
+# kept as the better structure if hardware gathers ever get fast, and as
+# the proof that the fixpoint tolerates stale halos (used by the sharded
+# solver's amortized rounds).
 
 
-def _wave_sweep(dvm, avm, vvm, pvm, obox, b, band, o, NWW, W, nbands):
-    """One wave sweep on the column window [o, o+NWW) (padded coords).
+BIGC = 1 << 30
 
-    All gathers materialize before any write, so delta/vis/A update in
-    place (no intra-sweep hazard in a single vectorized window).  Window
-    edge lanes are masked: their lane-rolls wrap the window, and a
-    wrongly-set vis bit could never be unset.
 
-    Also accumulates band-boundary crossings of the pre-sweep delta into
-    the outbox rows (window-limited), and tracks whether VIS changed in
-    the edge interior rows (the only in-band changes a neighbor can see,
-    through its stale halo rows).
+def _delta_half(dvm, avm, pvm, band, ro, RH, o, NWW, W):
+    """Delta propagation + A accumulation on the (RH rows x NWW cols)
+    window at (ro, o) (padded coords; rows are window-local, columns
+    include the duplicated wrap margins).
 
-    Returns (lo, hi, crossN, crossS, edgeN, edgeS): canonical-column
-    change range (duplicated columns excluded) and the four neighbor-
-    relevant flags."""
+    Returns (rlo, rhi, lo, hi): the row/column change ranges (rows in
+    band-local coords, columns in padded coords, canonical only)."""
     win = pl.ds(o, NWW)
-    dslab = {dy: dvm[pl.ds(8 + dy, band), win] for dy in (-1, 0, 1)}
-    vslab = {dy: vvm[pl.ds(8 + dy, band), win] for dy in (-1, 0, 1)}
-    packed = pvm[:, win]
+    # one 8-aligned ref load; the +-1-row slabs are value slices (ref
+    # slices at ro+8+dy would break Mosaic's sublane alignment rule)
+    block = dvm[pl.ds(ro, RH + 16), win]
+    dslab = {dy: jax.lax.slice_in_dim(block, 8 + dy, 8 + dy + RH, axis=0)
+             for dy in (-1, 0, 1)}
+    packed = pvm[pl.ds(ro, RH), win]
 
-    # --- outgoing band crossings of the current delta (edge interior
-    # rows; full-width 1-D row ops — thin windowed row slices crash the
-    # Mosaic array layout checks)
-    if nbands > 1:
-        dN = dvm[band + 7, :]
-        pN = pvm[band - 1, :]
-        outN = jnp.zeros_like(dN)
-        for i in (0, 1, 2):          # _SCAN_ORDER dirs with dy=+1
-            outN = outN + jnp.where((pN & (1 << (8 + i))) != 0, dN, 0.0)
-        dS = dvm[8, :]
-        pS = pvm[0, :]
-        outS = jnp.zeros_like(dS)
-        for i in (5, 6, 7):          # dirs with dy=-1
-            outS = outS + jnp.where((pS & (1 << (8 + i))) != 0, dS, 0.0)
-        crossN = jnp.any(outN != 0.0)
-        crossS = jnp.any(outS != 0.0)
-
-        @pl.when(crossN)
-        def _accN():
-            obox[2 * b + 1, :] = obox[2 * b + 1, :] + outN
-
-        @pl.when(crossS)
-        def _accS():
-            obox[2 * b, :] = obox[2 * b, :] + outS
-    else:
-        crossN = crossS = jnp.asarray(False)
-
-    dsh, vsh = {}, {}
+    dsh = {}
     for dy in (-1, 0, 1):
-        d_s, v_s = dslab[dy], vslab[dy]
+        d_s = dslab[dy]
         dsh[(-1, dy)] = pltpu.roll(d_s, 1, 1)       # reads col c-1
         dsh[(0, dy)] = d_s
         dsh[(1, dy)] = pltpu.roll(d_s, NWW - 1, 1)  # reads col c+1
+
+    dnew = jnp.zeros((RH, NWW), jnp.float32)
+    for i, (dx, dy) in enumerate(_SCAN_ORDER):
+        dnew = dnew + jnp.where((packed & (1 << i)) != 0, dsh[(dx, dy)], 0.0)
+
+    wi = jax.lax.broadcasted_iota(jnp.int32, (RH, NWW), 1)
+    edge_ok = (wi >= 1) & (wi < NWW - 1)
+    dnew = jnp.where(edge_ok, dnew, 0.0)
+    ci = wi + o
+    ch = (dnew != 0.0) & (ci >= 128) & (ci < W + 128)
+
+    avm[pl.ds(ro, RH), win] = avm[pl.ds(ro, RH), win] + dnew
+    dvm[pl.ds(ro + 8, RH), win] = dnew
+    lo, hi = _change_range(ch)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (RH, NWW), 0)
+    rlo = jnp.min(jnp.where(ch, ri, BIGC))
+    rhi = jnp.max(jnp.where(ch, ri, -1))
+    return (jnp.where(rhi >= 0, rlo + ro, BIGC),
+            jnp.where(rhi >= 0, rhi + ro, -1),
+            jnp.where(hi >= 0, lo + o, BIGC),
+            jnp.where(hi >= 0, hi + o, -1))
+
+
+def _vis_half(vvm, pvm, band, ro, RH, o, NWW, W):
+    """Mouth-reachability OR-sweep on the window; same conventions as
+    _delta_half.  Returns (rlo, rhi, lo, hi, edgeN, edgeS) where the edge
+    flags say vis changed in the band's top/bottom interior row (what a
+    neighbor band can observe through its halo)."""
+    win = pl.ds(o, NWW)
+    block = vvm[pl.ds(ro, RH + 16), win]
+    vslab = {dy: jax.lax.slice_in_dim(block, 8 + dy, 8 + dy + RH, axis=0)
+             for dy in (-1, 0, 1)}
+    packed = pvm[pl.ds(ro, RH), win]
+
+    vsh = {}
+    for dy in (-1, 0, 1):
+        v_s = vslab[dy]
         vsh[(-1, dy)] = pltpu.roll(v_s, 1, 1)
         vsh[(0, dy)] = v_s
         vsh[(1, dy)] = pltpu.roll(v_s, NWW - 1, 1)
 
-    dnew = jnp.zeros((band, NWW), jnp.float32)
     vnew = jnp.where((packed & (1 << 16)) != 0, 1.0, 0.0)
     for i, (dx, dy) in enumerate(_SCAN_ORDER):
-        dnew = dnew + jnp.where((packed & (1 << i)) != 0, dsh[(dx, dy)], 0.0)
         vnew = jnp.maximum(
             vnew, jnp.where((packed & (1 << (8 + i))) != 0, vsh[(dx, dy)], 0.0))
 
     vold = vslab[0]
-    # mask window edge lanes (window-wrapped rolls feed them garbage; the
-    # narrow-window guard keeps real activity >= 8 lanes from the edges)
-    wi = jax.lax.broadcasted_iota(jnp.int32, (band, NWW), 1)
+    wi = jax.lax.broadcasted_iota(jnp.int32, (RH, NWW), 1)
     edge_ok = (wi >= 1) & (wi < NWW - 1)
-    dnew = jnp.where(edge_ok, dnew, 0.0)
     vnew = jnp.where(edge_ok, vnew, vold)
     vch = vnew != vold
-    # canonical columns only: changes detected in duplicated wrap columns
-    # would corrupt the range (their canonical twins carry the real change)
     ci = wi + o
-    canon = (ci >= 128) & (ci < W + 128)
-    ch = ((dnew != 0.0) | vch) & canon
-    ri = jax.lax.broadcasted_iota(jnp.int32, (band, NWW), 0)
-    edgeN = jnp.any(vch & canon & (ri == band - 1))
-    edgeS = jnp.any(vch & canon & (ri == 0))
+    ch = vch & (ci >= 128) & (ci < W + 128)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (RH, NWW), 0)
+    edgeN = jnp.any(ch & (ri + ro == band - 1))
+    edgeS = jnp.any(ch & (ri + ro == 0))
 
-    avm[:, win] = avm[:, win] + dnew
-    vvm[pl.ds(8, band), win] = vnew
-    dvm[pl.ds(8, band), win] = dnew
+    vvm[pl.ds(ro + 8, RH), win] = vnew
     lo, hi = _change_range(ch)
-    BIG = 1 << 30
-    return (jnp.where(hi >= 0, lo + o, BIG), jnp.where(hi >= 0, hi + o, -1),
-            crossN, crossS, edgeN, edgeS)
+    rlo = jnp.min(jnp.where(ch, ri, BIGC))
+    rhi = jnp.max(jnp.where(ch, ri, -1))
+    return (jnp.where(rhi >= 0, rlo + ro, BIGC),
+            jnp.where(rhi >= 0, rhi + ro, -1),
+            jnp.where(hi >= 0, lo + o, BIGC),
+            jnp.where(hi >= 0, hi + o, -1),
+            edgeN, edgeS)
 
 
-def _kernel_wave(band, nbands, W, NW, max_rounds, max_sweeps,
+def _pick_window(rlo, rhi, lo, hi, band, RH, NW, W):
+    """Choose (tier, ro, o) from last sweep's change ranges: tier 0 =
+    (RH rows x NW cols), 1 = (band x NW), 2 = (band x full width).
+    Activity moves one cell per sweep, so a 2-cell interior margin keeps
+    the window valid; rows snap to 8, columns to 128."""
+    M = 128
+    o = jnp.clip((lo - M) // 128 * 128, 0, W + 256 - NW)
+    cols_ok = (hi >= 0) & (hi - lo < NW - 2 * M) \
+        & (lo - o >= 8) & (o + NW - hi >= 8)
+    ro = jnp.clip((rlo - 4) // 8 * 8, 0, band - RH)
+    rows_ok = (rhi >= 0) & (rhi - rlo < RH - 4) \
+        & (rlo - ro >= 2) & (ro + RH - rhi >= 3)
+    tier = jnp.where(cols_ok & rows_ok, 0, jnp.where(cols_ok, 1, 2))
+    return tier, ro, jnp.where(cols_ok, o, 0)
+
+
+def _kernel_wave(band, nbands, W, NW, RH, max_rounds, max_sweeps,
                  ppad, areapad, apad, vpad, aout, vout, it_ref,
                  avm, vvm, pvm, arvm, dvm, obox, sem,
                  prevN, prevS, curN, curS, pend):
     """Whole solve in one launch; see the section comment above.
+
+    The delta (A-accumulation) and vis (reachability) halves run as
+    separate windowed passes per sweep, each with its own row/column
+    activity range and a 3-tier window choice — a drained half costs
+    nothing while the other's wavefront crawls.
 
     SMEM (nbands,) flags: prevN/prevS (curN/curS) — did the previous
     (current) round's visit change VIS in the band's north/south edge
@@ -690,6 +725,32 @@ def _kernel_wave(band, nbands, W, NW, max_rounds, max_sweeps,
         vm[pl.ds(0, rows), 0:128] = vm[pl.ds(0, rows), W:W + 128]
         vm[pl.ds(0, rows), W + 128:W + 256] = vm[pl.ds(0, rows), 128:256]
 
+    def accum_crossings(b):
+        """Outgoing band crossings of the current delta (edge interior
+        rows; full-width 1-D row ops)."""
+        dN = dvm[band + 7, :]
+        pN = pvm[band - 1, :]
+        outN = jnp.zeros_like(dN)
+        for i in (0, 1, 2):          # _SCAN_ORDER dirs with dy=+1
+            outN = outN + jnp.where((pN & (1 << (8 + i))) != 0, dN, 0.0)
+        dS = dvm[8, :]
+        pS = pvm[0, :]
+        outS = jnp.zeros_like(dS)
+        for i in (5, 6, 7):          # dirs with dy=-1
+            outS = outS + jnp.where((pS & (1 << (8 + i))) != 0, dS, 0.0)
+        crossN = jnp.any(outN != 0.0)
+        crossS = jnp.any(outS != 0.0)
+
+        @pl.when(crossN)
+        def _accN():
+            obox[2 * b + 1, :] = obox[2 * b + 1, :] + outN
+            pend[2 * b + 1] = 1
+
+        @pl.when(crossS)
+        def _accS():
+            obox[2 * b, :] = obox[2 * b, :] + outS
+            pend[2 * b] = 1
+
     def visit(b, rnd):
         r0 = b * band
         dma([pltpu.make_async_copy(aout.at[pl.ds(r0, band)], avm, sem.at[0]),
@@ -715,48 +776,44 @@ def _kernel_wave(band, nbands, W, NW, max_rounds, max_sweeps,
                 dvm[7, :] = obox[2 * bs + 1, :]
                 obox[2 * bs + 1, :] = jnp.zeros((PW,), jnp.float32)
                 pend[2 * bs + 1] = 0
-                refresh_dups(dvm, band + 16)
 
             @pl.when((b < nbands - 1) & (pend[2 * bn] != 0))
             def _inj_n():
                 dvm[band + 8, :] = obox[2 * bn, :]
                 obox[2 * bn, :] = jnp.zeros((PW,), jnp.float32)
                 pend[2 * bn] = 0
-                refresh_dups(dvm, band + 16)
-
-        M = 128  # window slack: recentered before the range reaches an edge
 
         def sweep_step(carry):
-            s, lo, hi, _, eN, eS = carry
+            (s, drl, drh, dl, dh, vrl, vrh, vl, vh, eN, eS) = carry
 
-            # window choice: narrow when the last change range (grown by
-            # the 1-cell wave speed) fits well inside an NW window
-            if W + 256 > NW:
-                o = jnp.clip((lo - M) // 128 * 128, 0, W + 256 - NW)
-                use_narrow = (hi >= 0) & (hi - lo < NW - 2 * M) \
-                    & (lo - o >= 8) & (o + NW - hi >= 8)
+            # ---- delta half
+            d_act = dh >= 0
+            if nbands > 1:
+                @pl.when(d_act & ((drl <= 0) | (drh >= band - 1)))
+                def _cross():
+                    accum_crossings(b)
 
-                def run_narrow(o):
-                    return _wave_sweep(dvm, avm, vvm, pvm, obox, b, band,
-                                       pl.multiple_of(o, 128), NW, W, nbands)
+            def run_d(args):
+                tier, ro, o = _pick_window(drl, drh, dl, dh, band, RH, NW, W)
 
-                def run_full(o):
-                    return _wave_sweep(dvm, avm, vvm, pvm, obox, b, band,
-                                       0, W + 256, W, nbands)
+                def t0(_):
+                    return _delta_half(dvm, avm, pvm, band,
+                                       pl.multiple_of(ro, 8), RH,
+                                       pl.multiple_of(o, 128), NW, W)
 
-                res = jax.lax.cond(use_narrow, run_narrow, run_full, o)
-            else:
-                res = _wave_sweep(dvm, avm, vvm, pvm, obox, b, band,
-                                  0, W + 256, W, nbands)
-            nlo, nhi, crN, crS, veN, veS = res
+                def t1(_):
+                    return _delta_half(dvm, avm, pvm, band, 0, band,
+                                       pl.multiple_of(o, 128), NW, W)
 
-            @pl.when(crN)
-            def _():
-                pend[2 * b + 1] = 1
+                def t2(_):
+                    return _delta_half(dvm, avm, pvm, band, 0, band,
+                                       0, W + 256, W)
 
-            @pl.when(crS)
-            def _():
-                pend[2 * b] = 1
+                return jax.lax.switch(tier, (t0, t1, t2), 0)
+
+            ndrl, ndrh, ndl, ndh = jax.lax.cond(
+                d_act, run_d,
+                lambda _: (i32(BIGC), i32(-1), i32(BIGC), i32(-1)), 0)
 
             # zero the injected halo rows after their single consumption
             @pl.when(s == 0)
@@ -764,25 +821,52 @@ def _kernel_wave(band, nbands, W, NW, max_rounds, max_sweeps,
                 dvm[7, :] = jnp.zeros((PW,), jnp.float32)
                 dvm[band + 8, :] = jnp.zeros((PW,), jnp.float32)
 
-            # duplicated wrap columns only go stale when the canonical
-            # dateline region actually changed
-            @pl.when((nhi >= 0) & ((nlo < 256) | (nhi >= W)))
-            def _dups():
+            @pl.when((ndh >= 0) & ((ndl < 256) | (ndh >= W)))
+            def _ddups():
                 refresh_dups(avm, band)
-                refresh_dups(vvm, band + 16)
                 refresh_dups(dvm, band + 16)
 
-            changed = nhi >= 0
-            return s + 1, nlo, nhi, changed, eN | veN, eS | veS
+            # ---- vis half
+            def run_v(args):
+                tier, ro, o = _pick_window(vrl, vrh, vl, vh, band, RH, NW, W)
+
+                def t0(_):
+                    return _vis_half(vvm, pvm, band,
+                                     pl.multiple_of(ro, 8), RH,
+                                     pl.multiple_of(o, 128), NW, W)
+
+                def t1(_):
+                    return _vis_half(vvm, pvm, band, 0, band,
+                                     pl.multiple_of(o, 128), NW, W)
+
+                def t2(_):
+                    return _vis_half(vvm, pvm, band, 0, band, 0, W + 256, W)
+
+                return jax.lax.switch(tier, (t0, t1, t2), 0)
+
+            nvrl, nvrh, nvl, nvh, veN, veS = jax.lax.cond(
+                vh >= 0, run_v,
+                lambda _: (i32(BIGC), i32(-1), i32(BIGC), i32(-1),
+                           jnp.asarray(False), jnp.asarray(False)), 0)
+
+            @pl.when((nvh >= 0) & ((nvl < 256) | (nvh >= W)))
+            def _vdups():
+                refresh_dups(vvm, band + 16)
+
+            changed = (ndh >= 0) | (nvh >= 0)
+            return (s + 1, ndrl, ndrh, ndl, ndh, nvrl, nvrh, nvl, nvh,
+                    eN | veN, eS | veS)
 
         def sweep_cond(carry):
-            s, _, _, changed, _, _ = carry
+            s = carry[0]
+            changed = (carry[4] >= 0) | (carry[8] >= 0)
             return changed & (s < max_sweeps)
 
-        nswept, _, _, _, eN, eS = jax.lax.while_loop(
+        full0 = (i32(0), i32(band - 1), i32(0), i32(W + 255))
+        nswept, _, _, _, _, _, _, _, _, eN, eS = jax.lax.while_loop(
             sweep_cond, sweep_step,
-            (i32(0), i32(0), i32(W + 255), jnp.asarray(True),
-             jnp.asarray(False), jnp.asarray(False)))
+            (i32(0),) + full0 + full0 + (jnp.asarray(False),
+                                         jnp.asarray(False)))
 
         @pl.when(eN)
         def _():
@@ -868,11 +952,12 @@ def _pad_wave_rows(x, grid: Grid):
 
 
 @functools.partial(jax.jit, static_argnames=("grid", "band", "narrow",
-                                             "max_rounds", "max_sweeps",
-                                             "interpret", "with_stats"))
+                                             "rows_narrow", "max_rounds",
+                                             "max_sweeps", "interpret",
+                                             "with_stats"))
 def flow_solve_wave(code, area2d, mouth, grid: Grid, band: int = 0,
-                    narrow: int = 512, max_rounds: int = 1 << 10,
-                    max_sweeps: int = 1 << 20,
+                    narrow: int = 512, rows_narrow: int = 16,
+                    max_rounds: int = 1 << 10, max_sweeps: int = 1 << 20,
                     interpret: bool = False, with_stats: bool = False):
     """Drop-in for flow_solve_pallas: delta-wave band solver (see the
     section comment above).  Returns (A, vis bool); with_stats additionally
@@ -892,7 +977,7 @@ def flow_solve_wave(code, area2d, mouth, grid: Grid, band: int = 0,
     PW = W + 256
     apad, vpad, stats = pl.pallas_call(
         functools.partial(_kernel_wave, band, nbands, W, narrow,
-                          max_rounds, max_sweeps),
+                          rows_narrow, max_rounds, max_sweeps),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
         out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
                    pl.BlockSpec(memory_space=pltpu.ANY),
