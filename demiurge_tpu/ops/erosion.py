@@ -80,7 +80,8 @@ def coupled_tectonic_erosion(height, sel, grid: Grid,
                              tcfg=None,
                              iterations: int = None,
                              tectonic_every: int = 5,
-                             callback=None):
+                             callback=None,
+                             progress=None):
     """Config-2 coupling: tectonic uplift forcing LIVE during landscape
     evolution — every ``tectonic_every`` erosion iterations the plate
     system advances one step and the collision-driven orogeny field
@@ -113,13 +114,16 @@ def coupled_tectonic_erosion(height, sel, grid: Grid,
                          cfg.factor, cfg.slope_exponent)
         if callback is not None:
             callback(i, h)
+        if progress is not None and not progress(i, iterations):
+            break  # cancelled: return the last completed state
     return h
 
 
 def landscape_evolution(height, sel, grid: Grid,
                         cfg: ErosionConfig = ErosionConfig(),
                         iterations: int = None,
-                        callback=None):
+                        callback=None,
+                        progress=None):
     """Full cpufilter loop (cpufilter.cpp:41-222).
 
     The flow solve has a host stage (lake graph), so the outer loop is a
@@ -136,4 +140,6 @@ def landscape_evolution(height, sel, grid: Grid,
                          cfg.factor, cfg.slope_exponent)
         if callback is not None:
             callback(i, h)
+        if progress is not None and not progress(i, iterations):
+            break  # cancelled: return the last completed state
     return h

@@ -128,10 +128,12 @@ def temperature_step(T, terrain, i0, grid: Grid, substeps: int = 10,
 
 
 def run_years(T, terrain, grid: Grid, years: float = 1.0, i0: float = 0.0,
-              substeps_per_dispatch: int = 250):
+              substeps_per_dispatch: int = 250, progress=None):
     """Convenience driver: simulate ``years`` annual cycles (the reference's
     outer loop, Temperature.cpp:48, runs ~33 years and never terminates; we
-    terminate — SURVEY §7 'non-goals')."""
+    terminate — SURVEY §7 'non-goals').  ``progress``: optional
+    :class:`demiurge_tpu.utils.progress.Progress` (reported per dispatch;
+    cancellation stops at the next dispatch boundary)."""
     n = int(years * SUBSTEPS_PER_YEAR)
     i = i0
     done = 0
@@ -139,4 +141,6 @@ def run_years(T, terrain, grid: Grid, years: float = 1.0, i0: float = 0.0,
         k = min(substeps_per_dispatch, n - done)
         T, i = temperature_step(T, terrain, i, grid, substeps=k)
         done += k
+        if progress is not None and not progress(done - 1, n):
+            break
     return T, i

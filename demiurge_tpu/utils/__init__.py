@@ -1,3 +1,4 @@
-from . import png
+from . import png, progress
+from .progress import Cancelled, Progress
 
-__all__ = ["png"]
+__all__ = ["png", "progress", "Progress", "Cancelled"]

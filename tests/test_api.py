@@ -194,3 +194,39 @@ def test_project_simulation_filters():
     assert p.undo()
     np.testing.assert_allclose(np.asarray(p.terrain), terrain_before,
                                atol=2e-5)
+
+
+def test_progress_and_cancel():
+    """ProgressFilter analog: progress reporting + cooperative cancel
+    (reference src/filter/Filter.h:117-130, Filter.cpp:97-115)."""
+    from demiurge_tpu.ops import erosion
+    from demiurge_tpu.utils import Progress
+
+    from demiurge_tpu.ops.noise import fbm
+
+    g = Grid(64, 32)
+    h = fbm(g, NoiseParams(octaves=3, scale=2.0, min=-1.0, max=2.0, seed=3))
+    sel = jnp.ones(g.shape, jnp.float32)
+
+    seen = []
+    prog = Progress(lambda frac, info: seen.append((frac, info["step"])))
+    erosion.landscape_evolution(h, sel, g,
+                                erosion.ErosionConfig(lakes=False),
+                                iterations=3, progress=prog)
+    assert [s for _, s in seen] == [1, 2, 3]
+    assert abs(seen[-1][0] - 1.0) < 1e-9
+
+    # cancel after the first step: the driver stops early
+    prog2 = Progress()
+    calls = []
+
+    def cb(i, hh):
+        calls.append(i)
+        if i == 0:
+            prog2.cancel()
+
+    erosion.landscape_evolution(h, sel, g,
+                                erosion.ErosionConfig(lakes=False),
+                                iterations=5, callback=cb, progress=prog2)
+    assert calls == [0]
+    assert prog2.cancelled
