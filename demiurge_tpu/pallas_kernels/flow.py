@@ -155,21 +155,33 @@ def _sweep_body(K, packed, area, a0, vis0, shrink_x: bool = False):
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, W), 0)
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, W), 1)
 
+    # unpack the 17 mask bits ONCE per visit into f32 multiplier fields:
+    # the sweep then runs on fused multiply-adds instead of per-use
+    # bit-test/select chains (explicit f32 values, not vmasks — 17 live
+    # boolean vmasks blow the scoped-vmem budget, 17 f32 fields are ~13MB
+    # and amortize over every sweep of the visit)
+    inc = [((packed >> i) & 1).astype(jnp.float32) for i in range(8)]
+    outm = [((packed >> (8 + i)) & 1).astype(jnp.float32) for i in range(8)]
+    mouthf = ((packed >> 16) & 1).astype(jnp.float32)
+
     def sweep(carry):
-        # masks are unpacked per use: precomputing all 17 boolean
-        # fields materializes them as 32-bit vmasks -> scoped-vmem OOM
         A, vis, s, _ = carry
+        # 3 row slabs + shared lane rolls: 8 rolls per array per sweep
+        # (row r reads r+dy <=> roll by (-dy) % rows; col c reads c+dx)
+        Aslab = {dy: pltpu.roll(A, (-dy) % rows, 0) if dy else A
+                 for dy in (-1, 0, 1)}
+        vslab = {dy: pltpu.roll(vis, (-dy) % rows, 0) if dy else vis
+                 for dy in (-1, 0, 1)}
         newA = area
-        newvis = jnp.where((packed & (1 << 16)) != 0, 1.0, 0.0)
+        newvis = mouthf
         for i, (dx, dy) in enumerate(_SCAN_ORDER):
-            Ad = pltpu.roll(A, (-dy) % rows, 0)
-            vd = pltpu.roll(vis, (-dy) % rows, 0)
+            Ad = Aslab[dy]
+            vd = vslab[dy]
             if dx:
                 Ad = pltpu.roll(Ad, (-dx) % W, 1)
                 vd = pltpu.roll(vd, (-dx) % W, 1)
-            newA = newA + jnp.where((packed & (1 << i)) != 0, Ad, 0.0)
-            newvis = jnp.maximum(
-                newvis, jnp.where((packed & (1 << (8 + i))) != 0, vd, 0.0))
+            newA = newA + inc[i] * Ad
+            newvis = jnp.maximum(newvis, outm[i] * vd)
         live = (row_iota >= s + 1) & (row_iota < rows - (s + 1))
         if shrink_x:
             live = live & (col_iota >= s + 1) & (col_iota < W - (s + 1))

@@ -146,16 +146,60 @@ def _kernel(k, p_ref, cN_ref, cS_ref, cE_ref, cW_ref, cC_ref, b_ref,
     out_ref[0] = p[k:-k, :]
 
 
+def _kernel2(k, u_ref, v_ref, cN_ref, cS_ref, cE_ref, cW_ref, cC_ref,
+             ou_ref, ov_ref):
+    """Two fields through the same 5-point sweep (no constant term), the
+    coefficient windows read from HBM once for both."""
+    u = u_ref[0]
+    v = v_ref[0]
+    cN = cN_ref[0]
+    cS = cS_ref[0]
+    cE = cE_ref[0]
+    cW = cW_ref[0]
+    cC = cC_ref[0]
+    rows, W = u.shape
+    for _ in range(k):
+        uN = pltpu.roll(u, rows - 1, 0)
+        uS = pltpu.roll(u, 1, 0)
+        uE = pltpu.roll(u, W - 1, 1)
+        uW = pltpu.roll(u, 1, 1)
+        u = cN * uN + cS * uS + cE * uE + cW * uW + cC * u
+        vN = pltpu.roll(v, rows - 1, 0)
+        vS = pltpu.roll(v, 1, 0)
+        vE = pltpu.roll(v, W - 1, 1)
+        vW = pltpu.roll(v, 1, 1)
+        v = cN * vN + cS * vS + cE * vE + cW * vW + cC * v
+    ou_ref[0] = u[k:-k, :]
+    ov_ref[0] = v[k:-k, :]
+
+
+def _pick_kb(H: int, iters: int, kmax: int = 32):
+    """(k, band) for the banded sweeps: the deepest halo k that divides
+    ``iters`` (exact sweep count) against the widest band dividing H.
+    Deeper k = fewer HBM round trips for the same sweeps; the (band+2k)/band
+    halo recompute overhead stays <= 1.2."""
+    band = next((b for b in (256, 128, 64) if H % b == 0), 0)
+    if not band:
+        return 0, 0
+    for k in (25, 20, 16, 10, 8, 5, 4, 2, 1):
+        if k <= min(kmax, band) and iters % k == 0:
+            return k, band
+    return 8, band
+
+
 @functools.partial(jax.jit,
                    static_argnames=("grid", "iters", "k", "band",
                                     "interpret"))
 def pressure_solve_pallas(divw, terrain, grid: Grid, iters: int = 5000,
-                          k: int = 8, band: int = 128, p0=None,
+                          k: int = 0, band: int = 0, p0=None,
                           interpret: bool = False):
     """Drop-in for ops.ocean.pressure_solve (same fixpoint; f32
-    reassociation-level differences).  iters rounds up to a multiple of k."""
+    reassociation-level differences).  iters rounds up to a multiple of k;
+    k/band default to _pick_kb's deepest exact-divisor choice."""
     H, W = grid.shape
-    assert H % band == 0, (H, band)
+    if not (k and band):
+        k, band = _pick_kb(H, iters)
+    assert k and band and H % band == 0, (H, band)
     cN, cS, cE, cW, cC, b = _coefficients(divw, terrain, grid)
     pcN, pcS, others = _pad_coeff(cN, cS, (cE, cW, cC, b), k, grid)
     nbands = H // band
@@ -218,28 +262,32 @@ def _diffusion_coefficients(terrain, grid: Grid):
     return cN, cS, cE, cW, cC
 
 
-def diffusion_supported(grid: Grid, iters: int, k: int = 10,
-                        band: int = 128) -> bool:
+def diffusion_supported(grid: Grid, iters: int) -> bool:
+    k, band = _pick_kb(grid.height, iters)
     return bool(grid.wrap_x and grid.wrap_south and grid.wrap_north
-                and grid.height % band == 0 and iters % k == 0)
+                and k and band and iters % k == 0)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("grid", "iters", "k", "band",
                                     "interpret"))
 def diffusion_solve_pallas(u, v, terrain, grid: Grid, iters: int = 50,
-                           k: int = 10, band: int = 128,
+                           k: int = 0, band: int = 0,
                            interpret: bool = False):
     """Drop-in for ops.ocean.diffusion (intent mode, full-globe grids):
-    K sweeps per HBM round trip; velocity pole halos are sign-flipped and
-    the N/S coefficients swapped there (crossing a pole reverses both the
-    walk direction and the vector).  Same sweep count and masks as the XLA
-    scan; f32 reassociation-level differences only."""
+    K sweeps per HBM round trip, both velocity components through one
+    kernel so the coefficient windows are read once; velocity pole halos
+    are sign-flipped and the N/S coefficients swapped there (crossing a
+    pole reverses both the walk direction and the vector).  Same sweep
+    count and masks as the XLA scan; f32 reassociation-level differences
+    only."""
     H, W = grid.shape
-    assert diffusion_supported(grid, iters, k, band), (grid.shape, iters)
+    if not (k and band):
+        k, band = _pick_kb(H, iters)
+    assert k and band and H % band == 0 and iters % k == 0, (
+        grid.shape, iters, k, band)
     cN, cS, cE, cW, cC = _diffusion_coefficients(terrain, grid)
-    zero_b = jnp.zeros(grid.shape, jnp.float32)
-    pcN, pcS, others = _pad_coeff(cN, cS, (cE, cW, cC, zero_b), k, grid)
+    pcN, pcS, others = _pad_coeff(cN, cS, (cE, cW, cC), k, grid)
     nbands = H // band
     coeff_windows = [_windows(c, band, k, nbands)
                      for c in [pcN, pcS] + others]
@@ -249,11 +297,12 @@ def diffusion_solve_pallas(u, v, terrain, grid: Grid, iters: int = 50,
     out_spec = pl.BlockSpec((1, band, W), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     call = pl.pallas_call(
-        functools.partial(_kernel, k),
+        functools.partial(_kernel2, k),
         grid=(nbands,),
         in_specs=[spec] * 7,
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((nbands, band, W), jnp.float32),
+        out_specs=(out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((nbands, band, W), jnp.float32),
+                   jax.ShapeDtypeStruct((nbands, band, W), jnp.float32)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -263,9 +312,8 @@ def diffusion_solve_pallas(u, v, terrain, grid: Grid, iters: int = 50,
         u, v = carry
         uw = _windows(_pad_rows(u, k, grid, negate=True), band, k, nbands)
         vw = _windows(_pad_rows(v, k, grid, negate=True), band, k, nbands)
-        nu = call(uw, *coeff_windows).reshape(H, W)
-        nv = call(vw, *coeff_windows).reshape(H, W)
-        return (nu, nv), None
+        nu, nv = call(uw, vw, *coeff_windows)
+        return (nu.reshape(H, W), nv.reshape(H, W)), None
 
     (u, v), _ = jax.lax.scan(round_fn, (u, v), None, length=iters // k)
     return u, v
