@@ -643,12 +643,18 @@ def flow_filter_device(height, sel, grid: Grid, exponent: float = 0.5,
         from ..pallas_kernels.flow import (flow_solve_pallas,
                                            flow_solve_supported)
 
-        # the 1D banded kernel beats the 2D-tiled variant at every size
-        # measured (2048..4096 wide): with in-kernel early exit the 2D
-        # tiles' extra DMA latency costs more than their narrower windows
-        # save (flow_solve_pallas_2d remains available for experiments)
+        # SPLIT solve: A (upstream sums, converges downstream) and vis
+        # (mouth reachability, converges upstream) as two independent
+        # banded solves.  Their convergence waves travel in opposite
+        # directions along a river, so the joint solve keeps the union of
+        # both wavefronts' bands active every round — splitting measures
+        # 2.1x faster (tools/flow_tune.py, 2048x1024 evolved state:
+        # 4.7 ms vs 9.9 ms).  k=8 beats deeper halos on both halves.
         if flow_solve_supported(grid):
-            acc, vis = flow_solve_pallas(code, area, mouth, grid)
+            acc, _ = flow_solve_pallas(code, area, mouth, grid, k=8,
+                                       mode="A")
+            _, vis = flow_solve_pallas(code, area, mouth, grid, k=8,
+                                       mode="vis")
             return jnp.where(vis, jnp.power(acc, exponent), -1.0)
 
     acc, vis, _ = flow_solve_stencil(code, area, mouth, grid)

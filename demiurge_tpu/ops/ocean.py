@@ -362,9 +362,14 @@ def diffusion(u, v, terrain, grid: Grid, cfg: OceanConfig, mesh=None):
                                        iters=cfg.diffusion_iters)
     if (not cfg.exact_quirks and jax.default_backend() == "tpu"
             and jax.device_count() == 1):
-        from ..pallas_kernels.jacobi import (diffusion_solve_pallas,
+        from ..pallas_kernels.jacobi import (diffusion_resident_supported,
+                                             diffusion_solve_pallas,
+                                             diffusion_solve_resident,
                                              diffusion_supported)
 
+        if diffusion_resident_supported(grid, cfg.diffusion_iters):
+            return diffusion_solve_resident(u, v, terrain, grid,
+                                            iters=cfg.diffusion_iters)
         if diffusion_supported(grid, cfg.diffusion_iters):
             return diffusion_solve_pallas(u, v, terrain, grid,
                                           iters=cfg.diffusion_iters)
@@ -454,8 +459,13 @@ def pressure_solve(divw, terrain, grid: Grid, cfg: OceanConfig,
     oC = terrain > 0
 
     if _use_pallas_pressure(grid, cfg):
-        from ..pallas_kernels.jacobi import pressure_solve_pallas
+        from ..pallas_kernels.jacobi import (pressure_resident_supported,
+                                             pressure_solve_pallas,
+                                             pressure_solve_resident)
 
+        if pressure_resident_supported(grid, cfg.jacobi_iters):
+            return pressure_solve_resident(divw, terrain, grid,
+                                           iters=cfg.jacobi_iters, p0=p0)
         return pressure_solve_pallas(divw, terrain, grid,
                                      iters=cfg.jacobi_iters, p0=p0)
 

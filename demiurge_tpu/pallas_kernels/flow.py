@@ -85,7 +85,7 @@ def _pad_zero_rows(x, k):
     return jnp.concatenate([z, x, z], 0)
 
 
-def _kernel(K, band, nbands, flags_ref, ppad, areapad, apad, vpad,
+def _kernel(K, band, nbands, mode, flags_ref, ppad, areapad, apad, vpad,
             aout, vout, chg_ref, avm, vvm, pvm, arvm, sem):
     """Manual-DMA band kernel over padded (H+2K, W) carries.
 
@@ -93,7 +93,15 @@ def _kernel(K, band, nbands, flags_ref, ppad, areapad, apad, vpad,
     no copies at all, and later bands see earlier bands' same-round writes
     (Gauss-Seidel ordering — same unique fixpoint, faster convergence).
     The driver's while-loop body is a bare pallas_call: no per-round
-    pad/window reshuffles in HBM."""
+    pad/window reshuffles in HBM.
+
+    ``mode``: 'both' solves (A, vis) jointly; 'A'/'vis' solve one half only
+    (the other is DMA'd nowhere and passes through via the aliasing) — the
+    two halves' convergence waves travel in opposite directions along a
+    river (A downstream, vis upstream), so split solves keep far fewer
+    bands active per round than the union the joint solve pays for."""
+    do_A = mode in ("both", "A")
+    do_v = mode in ("both", "vis")
     b = pl.program_id(0)
     left = flags_ref[jnp.maximum(b - 1, 0)]
     right = flags_ref[jnp.minimum(b + 1, nbands - 1)]
@@ -103,26 +111,34 @@ def _kernel(K, band, nbands, flags_ref, ppad, areapad, apad, vpad,
     def _run():
         r0 = b * band
         win = (pl.ds(r0, band + 2 * K), slice(None))
+        pairs = [(ppad, pvm)]
+        if do_A:
+            pairs += [(apad, avm), (areapad, arvm)]
+        if do_v:
+            pairs += [(vpad, vvm)]
         copies = [pltpu.make_async_copy(src.at[win], dst, sem.at[n])
-                  for n, (src, dst) in enumerate(
-                      ((apad, avm), (vpad, vvm), (ppad, pvm),
-                       (areapad, arvm)))]
+                  for n, (src, dst) in enumerate(pairs)]
         for cp in copies:
             cp.start()
         for cp in copies:
             cp.wait()
         a0 = avm[...]
         vis0 = vvm[...]
-        A, vis = _sweep_body(K, pvm[...], arvm[...], a0, vis0)
-        changed = (jnp.any(A[K:-K, :] != a0[K:-K, :])
-                   | jnp.any(vis[K:-K, :] != vis0[K:-K, :]))
+        A, vis = _sweep_body(K, pvm[...], arvm[...], a0, vis0, mode=mode)
+        changed = jnp.asarray(False)
+        if do_A:
+            changed = changed | jnp.any(A[K:-K, :] != a0[K:-K, :])
+        if do_v:
+            changed = changed | jnp.any(vis[K:-K, :] != vis0[K:-K, :])
         avm[...] = A
         vvm[...] = vis
         interior = (pl.ds(K, band), slice(None))
         out_at = (pl.ds(r0 + K, band), slice(None))
+        wpairs = ([(avm, aout)] if do_A else []) \
+            + ([(vvm, vout)] if do_v else [])
         wcopies = [pltpu.make_async_copy(vm.at[interior], out.at[out_at],
                                          sem.at[n])
-                   for n, (vm, out) in enumerate(((avm, aout), (vvm, vout)))]
+                   for n, (vm, out) in enumerate(wpairs)]
         for cp in wcopies:
             cp.start()
         for cp in wcopies:
@@ -134,7 +150,8 @@ def _kernel(K, band, nbands, flags_ref, ppad, areapad, apad, vpad,
         chg_ref[b] = 0
 
 
-def _sweep_body(K, packed, area, a0, vis0, shrink_x: bool = False):
+def _sweep_body(K, packed, area, a0, vis0, shrink_x: bool = False,
+                mode: str = "both"):
     """Up to K Jacobi sweeps of the (A, vis) relaxation on one padded block,
     with early exit: after sweep s, if every row in [s, rows-s) is
     unchanged, nothing valid is left to propagate — halo ring i is only
@@ -160,33 +177,47 @@ def _sweep_body(K, packed, area, a0, vis0, shrink_x: bool = False):
     # bit-test/select chains (explicit f32 values, not vmasks — 17 live
     # boolean vmasks blow the scoped-vmem budget, 17 f32 fields are ~13MB
     # and amortize over every sweep of the visit)
-    inc = [((packed >> i) & 1).astype(jnp.float32) for i in range(8)]
-    outm = [((packed >> (8 + i)) & 1).astype(jnp.float32) for i in range(8)]
-    mouthf = ((packed >> 16) & 1).astype(jnp.float32)
+    do_A = mode in ("both", "A")
+    do_v = mode in ("both", "vis")
+    inc = [((packed >> i) & 1).astype(jnp.float32) for i in range(8)] \
+        if do_A else None
+    outm = [((packed >> (8 + i)) & 1).astype(jnp.float32) for i in range(8)] \
+        if do_v else None
+    mouthf = ((packed >> 16) & 1).astype(jnp.float32) if do_v else None
 
     def sweep(carry):
         A, vis, s, _ = carry
         # 3 row slabs + shared lane rolls: 8 rolls per array per sweep
         # (row r reads r+dy <=> roll by (-dy) % rows; col c reads c+dx)
-        Aslab = {dy: pltpu.roll(A, (-dy) % rows, 0) if dy else A
-                 for dy in (-1, 0, 1)}
-        vslab = {dy: pltpu.roll(vis, (-dy) % rows, 0) if dy else vis
-                 for dy in (-1, 0, 1)}
-        newA = area
-        newvis = mouthf
+        newA, newvis = A, vis
+        if do_A:
+            Aslab = {dy: pltpu.roll(A, (-dy) % rows, 0) if dy else A
+                     for dy in (-1, 0, 1)}
+            newA = area
+        if do_v:
+            vslab = {dy: pltpu.roll(vis, (-dy) % rows, 0) if dy else vis
+                     for dy in (-1, 0, 1)}
+            newvis = mouthf
         for i, (dx, dy) in enumerate(_SCAN_ORDER):
-            Ad = Aslab[dy]
-            vd = vslab[dy]
-            if dx:
-                Ad = pltpu.roll(Ad, (-dx) % W, 1)
-                vd = pltpu.roll(vd, (-dx) % W, 1)
-            newA = newA + inc[i] * Ad
-            newvis = jnp.maximum(newvis, outm[i] * vd)
+            if do_A:
+                Ad = Aslab[dy]
+                if dx:
+                    Ad = pltpu.roll(Ad, (-dx) % W, 1)
+                newA = newA + inc[i] * Ad
+            if do_v:
+                vd = vslab[dy]
+                if dx:
+                    vd = pltpu.roll(vd, (-dx) % W, 1)
+                newvis = jnp.maximum(newvis, outm[i] * vd)
         live = (row_iota >= s + 1) & (row_iota < rows - (s + 1))
         if shrink_x:
             live = live & (col_iota >= s + 1) & (col_iota < W - (s + 1))
-        done = jnp.logical_not(
-            jnp.any(live & ((newA != A) | (newvis != vis))))
+        ch = jnp.zeros_like(live)
+        if do_A:
+            ch = ch | (newA != A)
+        if do_v:
+            ch = ch | (newvis != vis)
+        done = jnp.logical_not(jnp.any(live & ch))
         return newA, newvis, s + 1, done
 
     def cond(carry):
@@ -1024,9 +1055,10 @@ def flow_solve_wave(code, area2d, mouth, grid: Grid, band: int = 0,
 
 
 def _pick_band(H: int) -> int:
-    # 64 beats 128: the convergence tail pays per-window pixels, and the
-    # early-exit already keeps dragged-in neighbor bands cheap
-    for band in (64, 128, 32):
+    # 128 edges out 64 for the split banded solves (fewer band flags and
+    # launches per round; the in-sweep early exit keeps the deeper bands'
+    # extra rows cheap) — tools/flow_tune.py
+    for band in (128, 64, 32):
         if H % band == 0:
             return band
     return 0
@@ -1043,12 +1075,17 @@ def flow_solve_2d_supported(grid: Grid, k: int = 16) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("grid", "k", "band",
-                                             "max_iters", "interpret"))
+                                             "max_iters", "mode",
+                                             "interpret"))
 def flow_solve_pallas(code, area2d, mouth, grid: Grid, k: int = 16,
                       band: int = 0, max_iters: int = 1 << 20,
-                      interpret: bool = False):
+                      mode: str = "both", interpret: bool = False):
     """Drop-in for ops.flow.flow_solve_stencil (no lake connections, no
-    root tracking — the jittable hot path).  Returns (A, vis bool)."""
+    root tracking — the jittable hot path).  Returns (A, vis bool).
+
+    ``mode='A'``/``'vis'`` solve one half only (see _kernel); the other
+    half passes through unchanged (vis stays the mouth seed / A stays
+    area)."""
     H, W = grid.shape
     band = band or _pick_band(H)
     assert band > 0 and H % band == 0 and grid.wrap_x, (grid.shape, band)
@@ -1064,7 +1101,7 @@ def flow_solve_pallas(code, area2d, mouth, grid: Grid, k: int = 16,
 
     fshape = jax.ShapeDtypeStruct((H + 2 * k, W), jnp.float32)
     call = pl.pallas_call(
-        functools.partial(_kernel, k, band, nbands),
+        functools.partial(_kernel, k, band, nbands, mode),
         grid=(nbands,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pltpu.ANY)] * 4,

@@ -173,6 +173,167 @@ def _kernel2(k, u_ref, v_ref, cN_ref, cS_ref, cE_ref, cW_ref, cC_ref,
     ov_ref[0] = v[k:-k, :]
 
 
+def _kernel_resident(k, nrounds, rem, R, W, B, nfields, has_b, wrapS, wrapN,
+                     negate, *refs):
+    """Whole solve in ONE launch, everything VMEM-resident.
+
+    The banded drivers re-read 6 coefficient windows from HBM every k-sweep
+    round; here the coefficients are DMA'd to VMEM once and the full
+    nrounds*k sweeps run on-core.  Field buffers are (R+16, W): 8 scratch
+    margin rows at each end so every row block can read an 8-aligned slab
+    and take +-1-row value slices (Mosaic sublane alignment rule).
+
+    Pole halos (k rows each end) self-evolve for k sweeps via the
+    N/S-swapped halo coefficients (_pad_coeff); after each round they are
+    refreshed from the interior edge rows: halo row j <- interior row
+    (2k-1-j) rolled half the world in longitude (crossing a pole adds pi
+    to lambda; ``negate`` flips the sign for velocity fields).  Clamp
+    (non-pole-wrap) edges skip the refresh — their halo contents are
+    irrelevant after the coefficient fold.
+
+    Ref layout: ins cN,cS,cE,cW,cC[,b] then fields x nfields (ANY, (R,W));
+    outs fields x nfields (aliased); scratch: coeff VMEM x(5+has_b) (R,W),
+    (ping, pong) VMEM x nfields (R+16, W), sem.
+    """
+    ncoef = 5 + has_b
+    ins = refs[:ncoef]
+    fins = refs[ncoef:ncoef + nfields]
+    outs = refs[ncoef + nfields:ncoef + 2 * nfields]
+    scr = refs[ncoef + 2 * nfields:]
+    cvs = scr[:ncoef]
+    fbufs = scr[ncoef:ncoef + 2 * nfields]
+    sem = scr[-1]
+
+    def dma(pairs):
+        copies = [pltpu.make_async_copy(src, dst, sem.at[n])
+                  for n, (src, dst) in enumerate(pairs)]
+        for cp in copies:
+            cp.start()
+        for cp in copies:
+            cp.wait()
+
+    dma([(ins[i], cvs[i]) for i in range(ncoef)]
+        + [(fins[i], fbufs[2 * i].at[pl.ds(8, R)]) for i in range(nfields)])
+    zrow = jnp.zeros((8, W), jnp.float32)
+    for i in range(nfields):
+        for buf in (fbufs[2 * i], fbufs[2 * i + 1]):
+            buf[pl.ds(0, 8), :] = zrow
+            buf[pl.ds(R + 8, 8), :] = zrow
+
+    blocks = [(p0, min(B, R - p0)) for p0 in range(0, R, B)]
+
+    def one_sweep(src, dst):
+        for p0, rows_b in blocks:
+            slab = src[pl.ds(p0, rows_b + 16), :]
+            up = jax.lax.slice_in_dim(slab, 9, 9 + rows_b, axis=0)
+            dn = jax.lax.slice_in_dim(slab, 7, 7 + rows_b, axis=0)
+            ce = jax.lax.slice_in_dim(slab, 8, 8 + rows_b, axis=0)
+            pE = pltpu.roll(ce, W - 1, 1)   # reads col c+1
+            pW = pltpu.roll(ce, 1, 1)       # reads col c-1
+            blk = (pl.ds(p0, rows_b), slice(None))
+            out = (cvs[0][blk] * up + cvs[1][blk] * dn
+                   + cvs[2][blk] * pE + cvs[3][blk] * pW
+                   + cvs[4][blk] * ce)
+            if has_b:
+                out = out + cvs[5][blk]
+            dst[pl.ds(p0 + 8, rows_b), :] = out
+
+    sgn = -1.0 if negate else 1.0
+
+    def _rev_halo(src):
+        """(k, W) interior rows -> reversed-row, half-world-rolled halo.
+        Row reversal = concat of k static single-row value slices (Mosaic
+        has no sublane reverse); the lane roll is one static 2-D roll."""
+        rev = jnp.concatenate(
+            [jax.lax.slice_in_dim(src, k - 1 - j, k - j, axis=0)
+             for j in range(k)], axis=0)
+        return sgn * pltpu.roll(rev, W // 2, 1)
+
+    def refresh(buf):
+        # slab reads/stores at 8-aligned offsets only (sublane rule):
+        # south block [8, 8+2k) = [halo rows | interior rows]; the store
+        # rewrites the interior half with its own values.
+        if wrapS:
+            slab = buf[pl.ds(8, 2 * k), :]
+            src = jax.lax.slice_in_dim(slab, k, 2 * k, axis=0)
+            buf[pl.ds(8, 2 * k), :] = jnp.concatenate(
+                [_rev_halo(src), src], axis=0)
+        if wrapN:
+            slab = buf[pl.ds(8 + R - 2 * k, 2 * k), :]
+            src = jax.lax.slice_in_dim(slab, 0, k, axis=0)
+            buf[pl.ds(8 + R - 2 * k, 2 * k), :] = jnp.concatenate(
+                [src, _rev_halo(src)], axis=0)
+
+    def double_sweep(i, carry):
+        for f in range(nfields):
+            one_sweep(fbufs[2 * f], fbufs[2 * f + 1])
+        for f in range(nfields):
+            one_sweep(fbufs[2 * f + 1], fbufs[2 * f])
+        return carry
+
+    def round_body(r, carry):
+        jax.lax.fori_loop(0, k // 2, double_sweep, 0)
+        # trailing refresh only touches halo rows (the outputs slice them
+        # off), so running it after the final round too is harmless
+        for f in range(nfields):
+            refresh(fbufs[2 * f])
+        return carry
+
+    jax.lax.fori_loop(0, nrounds, round_body, 0)
+    if rem:
+        # remainder sweeps (even, < k: the fresh halo covers them)
+        jax.lax.fori_loop(0, rem // 2, double_sweep, 0)
+
+    dma([(fbufs[2 * i].at[pl.ds(8, R)], outs[i]) for i in range(nfields)])
+
+
+def _resident_ok(grid: Grid, k: int, iters: int, nfields: int,
+                 has_b: bool) -> bool:
+    if not grid.wrap_x:
+        return False
+    # k%4: R = H+2k must stay 8-row aligned (Mosaic slice-size tiling rule);
+    # iters%2: the in-kernel ping-pong advances two sweeps per trip
+    if k % 4 or iters % 2 or grid.height % 8:
+        return False
+    R = grid.height + 2 * k
+    W = grid.width
+    vmem = ((5 + has_b) * R * W + 2 * nfields * (R + 16) * W) * 4
+    return vmem <= 88 * 1024 * 1024
+
+
+def _resident_call(coeffs, fields, grid: Grid, k: int, iters: int,
+                   negate: bool, interpret: bool = False, block: int = 128):
+    """Shared driver for the resident kernel.  coeffs: 5 or 6 padded (R,W)
+    arrays; fields: padded (R,W) arrays (updated in place via aliasing)."""
+    H, W = grid.shape
+    R = H + 2 * k
+    has_b = len(coeffs) == 6
+    nfields = len(fields)
+    nrounds = iters // k
+    rem = iters - nrounds * k
+    wrapS = bool(grid.wrap_south and grid.wrap_x)
+    wrapN = bool(grid.wrap_north and grid.wrap_x)
+
+    fshape = jax.ShapeDtypeStruct((R, W), jnp.float32)
+    ncoef = len(coeffs)
+    outs = pl.pallas_call(
+        functools.partial(_kernel_resident, k, nrounds, rem, R, W, block,
+                          nfields, has_b, wrapS, wrapN, negate),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (ncoef + nfields),
+        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.ANY)] * nfields),
+        out_shape=tuple([fshape] * nfields),
+        input_output_aliases={ncoef + i: i for i in range(nfields)},
+        scratch_shapes=[pltpu.VMEM((R, W), jnp.float32)] * ncoef
+        + [pltpu.VMEM((R + 16, W), jnp.float32)] * (2 * nfields)
+        + [pltpu.SemaphoreType.DMA((max(ncoef + nfields, 2),))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*coeffs, *fields)
+    outs = outs if isinstance(outs, (list, tuple)) else (outs,)
+    return [o[k:-k] for o in outs]
+
+
 def _pick_kb(H: int, iters: int, kmax: int = 32):
     """(k, band) for the banded sweeps: the deepest halo k that divides
     ``iters`` (exact sweep count) against the widest band dividing H.
@@ -233,6 +394,49 @@ def pressure_solve_pallas(divw, terrain, grid: Grid, iters: int = 5000,
 
     p, _ = jax.lax.scan(round_fn, p, None, length=n_rounds)
     return p
+
+
+def pressure_resident_supported(grid: Grid, iters: int, k: int = 20) -> bool:
+    return _resident_ok(grid, k, iters, nfields=1, has_b=True)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("grid", "iters", "k", "interpret"))
+def pressure_solve_resident(divw, terrain, grid: Grid, iters: int = 200,
+                            k: int = 20, p0=None, interpret: bool = False):
+    """Single-launch VMEM-resident Jacobi pressure solve (_kernel_resident):
+    same fixpoint/sweep count as pressure_solve_pallas, ~1 HBM round trip
+    total instead of one per k sweeps."""
+    assert pressure_resident_supported(grid, iters, k), (grid.shape, iters, k)
+    cN, cS, cE, cW, cC, b = _coefficients(divw, terrain, grid)
+    pcN, pcS, others = _pad_coeff(cN, cS, (cE, cW, cC, b), k, grid)
+    p = jnp.zeros_like(divw) if p0 is None else p0
+    ppad = _pad_rows(p, k, grid)
+    (out,) = _resident_call([pcN, pcS] + others, [ppad], grid, k, iters,
+                            negate=False, interpret=interpret)
+    return out
+
+
+def diffusion_resident_supported(grid: Grid, iters: int, k: int = 12) -> bool:
+    return bool(grid.wrap_south and grid.wrap_north
+                and _resident_ok(grid, k, iters, nfields=2, has_b=False))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("grid", "iters", "k", "interpret"))
+def diffusion_solve_resident(u, v, terrain, grid: Grid, iters: int = 50,
+                             k: int = 12, interpret: bool = False):
+    """Single-launch VMEM-resident viscosity solve: both components on-core
+    for all sweeps, coefficients read once; velocity pole halos sign-flip
+    on refresh."""
+    assert diffusion_resident_supported(grid, iters, k), (grid.shape, iters)
+    cN, cS, cE, cW, cC = _diffusion_coefficients(terrain, grid)
+    pcN, pcS, others = _pad_coeff(cN, cS, (cE, cW, cC), k, grid)
+    upad = _pad_rows(u, k, grid, negate=True)
+    vpad = _pad_rows(v, k, grid, negate=True)
+    ou, ov = _resident_call([pcN, pcS] + others, [upad, vpad], grid, k,
+                            iters, negate=True, interpret=interpret)
+    return ou, ov
 
 
 # ---------------------------------------------------------------------------
