@@ -645,16 +645,24 @@ def flow_filter_device(height, sel, grid: Grid, exponent: float = 0.5,
 
         # SPLIT solve: A (upstream sums, converges downstream) and vis
         # (mouth reachability, converges upstream) as two independent
-        # banded solves.  Their convergence waves travel in opposite
-        # directions along a river, so the joint solve keeps the union of
-        # both wavefronts' bands active every round — splitting measures
-        # 2.1x faster (tools/flow_tune.py, 2048x1024 evolved state:
-        # 4.7 ms vs 9.9 ms).  k=8 beats deeper halos on both halves.
+        # solves.  Their convergence waves travel in opposite directions
+        # along a river, so the joint banded solve keeps the union of both
+        # wavefronts' bands active every round — splitting measures 2.1x
+        # faster (tools/flow_tune.py).  The boolean vis half additionally
+        # bit-packs 32 rows per uint32 lane and solves in one VMEM-resident
+        # launch (pallas_kernels.visbits): 0.5 ms vs 7.0 ms for the f32
+        # banded vis at an evolved 2048x1024 state (14x).
         if flow_solve_supported(grid):
+            from ..pallas_kernels.visbits import (vis_bits_supported,
+                                                   vis_solve_bits)
+
             acc, _ = flow_solve_pallas(code, area, mouth, grid, k=8,
                                        mode="A")
-            _, vis = flow_solve_pallas(code, area, mouth, grid, k=8,
-                                       mode="vis")
+            if vis_bits_supported(grid):
+                vis = vis_solve_bits(code, mouth, grid)
+            else:
+                _, vis = flow_solve_pallas(code, area, mouth, grid, k=8,
+                                           mode="vis")
             return jnp.where(vis, jnp.power(acc, exponent), -1.0)
 
     acc, vis, _ = flow_solve_stencil(code, area, mouth, grid)

@@ -124,6 +124,72 @@ def _kernel_polar(Rf, stride, Q, Ry, band, u_ref, v_ref, dx_ref, dy_ref,
     ov_ref[0] = out_v
 
 
+def _kernel_dyn(Rf, stride, Ry, band, meta_ref, u_ref, v_ref, dx_ref,
+                dy_ref, ou_ref, ov_ref):
+    """One program per strip, tap bounds from SMEM — a single pallas_call
+    covers every radius tier (the per-tier calls each paid a fixed launch
+    cost).  meta per strip: (rx, q) — rx <= 16: exact hat taps over
+    [-rx, rx] via a dynamic-bound fori of incremental single-lane rolls;
+    rx > 16 (polar): exact taps over [-Rf, Rf] plus 2q+1 coarse
+    stride-taps (bilinear on the subsampled lattice), same math as
+    _kernel_polar."""
+    i = pl.program_id(0)
+    rx = meta_ref[i, 0]
+    q = meta_ref[i, 1]          # 0 = pure fine strip; >0 = polar hybrid
+    dx = dx_ref[0]
+    dy = dy_ref[0]
+    W = dx.shape[1]
+    polar = q > 0
+    fine_r = jnp.where(polar, Rf, rx)
+    fine = jnp.abs(dx) <= fine_r.astype(jnp.float32)
+
+    out_u = jnp.zeros_like(dx)
+    out_v = jnp.zeros_like(dx)
+    for ky in range(-Ry, Ry + 1):
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(dy - ky))
+        u_y = u_ref[0, Ry + ky:Ry + ky + band, :]
+        v_y = v_ref[0, Ry + ky:Ry + ky + band, :]
+
+        # fine taps: start at -fine_r (one dynamic-amount roll), then
+        # advance one lane per tap
+        ru0 = pltpu.roll(u_y, fine_r % W, 1)
+        rv0 = pltpu.roll(v_y, fine_r % W, 1)
+
+        def ftap(t, acc, wy=wy):
+            ru, rv, ou, ov = acc
+            kx = (t - fine_r).astype(jnp.float32)
+            w = wy * jnp.maximum(0.0, 1.0 - jnp.abs(dx - kx))
+            w = jnp.where(fine, w, 0.0)
+            ou = ou + w * ru
+            ov = ov + w * rv
+            return pltpu.roll(ru, W - 1, 1), pltpu.roll(rv, W - 1, 1), ou, ov
+
+        _, _, out_u, out_v = jax.lax.fori_loop(
+            0, 2 * fine_r + 1, ftap, (ru0, rv0, out_u, out_v))
+
+        # coarse taps: for non-polar strips q=0 and dx is pre-clamped to
+        # |dx| <= rx, so 'fine' covers every pixel and the single masked
+        # tap contributes zero — the loop is a no-op, no branch needed
+        cu0 = pltpu.roll(u_y, (q * stride) % W, 1)
+        cv0 = pltpu.roll(v_y, (q * stride) % W, 1)
+
+        def ctap(t, acc, wy=wy):
+            ru, rv, ou, ov = acc
+            kx = ((t - q) * stride).astype(jnp.float32)
+            w = wy * jnp.maximum(0.0, 1.0 - jnp.abs(dx - kx) / stride)
+            w = jnp.where(fine, 0.0, w)
+            ou = ou + w * ru
+            ov = ov + w * rv
+            return (pltpu.roll(ru, (W - stride) % W, 1),
+                    pltpu.roll(rv, (W - stride) % W, 1), ou, ov)
+
+        _, _, out_u, out_v = jax.lax.fori_loop(
+            0, 2 * q + 1, ctap, (cu0, cv0, out_u, out_v))
+
+    ou_ref[0] = out_u
+    ov_ref[0] = out_v
+
+
 def _pick_band(H: int) -> int:
     for band in (64, 32, 16, 8):
         if H % band == 0:
@@ -182,21 +248,23 @@ def advect_sample_tiered(u, v, dx, dy, grid, vmax: float = 1.0,
     strip = 32
     assert H % strip == 0, H
     radii = strip_radii(grid, vmax, timestep, strip)
+    nstrips = len(radii)
 
-    # contiguous runs of equal radius (radii grow monotonically toward the
-    # poles, so there are ~2 runs per radius)
-    runs = []  # (start_strip, count, Rx)
+    # per-strip (rx, q) for the dynamic-bound kernel: one pallas_call for
+    # every tier (each per-tier call used to pay a fixed launch cost)
+    import numpy as np
+
+    Rf, stride = 6, 8
+    meta_np = np.zeros((nstrips, 2), np.int32)
     for i, r in enumerate(radii):
-        if runs and runs[-1][2] == r:
-            runs[-1] = (runs[-1][0], runs[-1][1] + 1, r)
+        if r > 16:
+            meta_np[i] = (r, min((r + stride - 1) // stride, W // 16))
         else:
-            runs.append((i, 1, r))
+            meta_np[i] = (r, 0)
+    meta = jnp.asarray(meta_np)
 
     up = _pad_clamp_rows(u, Ry)
     vp = _pad_clamp_rows(v, Ry)
-    nstrips = len(radii)
-    # one shared window stack; each run's pallas_call addresses its strips
-    # directly through the BlockSpec index map — no per-group copies
     uw_all = jnp.stack([up[i * strip:i * strip + strip + 2 * Ry]
                         for i in range(nstrips)])
     vw_all = jnp.stack([vp[i * strip:i * strip + strip + 2 * Ry]
@@ -204,36 +272,23 @@ def advect_sample_tiered(u, v, dx, dy, grid, vmax: float = 1.0,
     dxw_all = dx.reshape(nstrips, strip, W)
     dyw_all = dy.reshape(nstrips, strip, W)
 
-    outs_u = []
-    outs_v = []
-    for i0, ng, Rx in runs:
-        pad_spec = pl.BlockSpec((1, strip + 2 * Ry, W),
-                                lambda i, i0=i0: (i0 + i, 0, 0),
-                                memory_space=pltpu.VMEM)
-        spec = pl.BlockSpec((1, strip, W), lambda i, i0=i0: (i0 + i, 0, 0),
+    pad_spec = pl.BlockSpec((1, strip + 2 * Ry, W), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-        out_spec = pl.BlockSpec((1, strip, W), lambda i: (i, 0, 0),
-                                memory_space=pltpu.VMEM)
-        if Rx > 16:
-            kern = functools.partial(_kernel_polar, 6, 8,
-                                     min((Rx + 7) // 8, W // 16), Ry, strip)
-        else:
-            kern = functools.partial(_kernel, Rx, Ry, strip)
-        ou, ov = pl.pallas_call(
-            kern,
-            grid=(ng,),
-            in_specs=[pad_spec, pad_spec, spec, spec],
-            out_specs=(out_spec, out_spec),
-            out_shape=(jax.ShapeDtypeStruct((ng, strip, W), jnp.float32),
-                       jax.ShapeDtypeStruct((ng, strip, W), jnp.float32)),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
-            interpret=interpret,
-        )(uw_all, vw_all, dxw_all, dyw_all)
-        outs_u.append(ou)
-        outs_v.append(ov)
-    return (jnp.concatenate(outs_u, 0).reshape(H, W),
-            jnp.concatenate(outs_v, 0).reshape(H, W))
+    spec = pl.BlockSpec((1, strip, W), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    ou, ov = pl.pallas_call(
+        functools.partial(_kernel_dyn, Rf, stride, Ry, strip),
+        grid=(nstrips,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pad_spec, pad_spec, spec, spec],
+        out_specs=(spec, spec),
+        out_shape=(jax.ShapeDtypeStruct((nstrips, strip, W), jnp.float32),
+                   jax.ShapeDtypeStruct((nstrips, strip, W), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(meta, uw_all, vw_all, dxw_all, dyw_all)
+    return ou.reshape(H, W), ov.reshape(H, W)
 
 
 @functools.partial(jax.jit, static_argnames=("Rx", "Ry", "interpret"))

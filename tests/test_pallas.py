@@ -86,6 +86,38 @@ def test_flow_pallas_interpret_matches_stencil():
     np.testing.assert_array_equal(np.asarray(vis), np.asarray(vis_ref))
     np.testing.assert_array_equal(np.asarray(A), np.asarray(A_ref))
 
+    # split halves (the production TPU route) hit the same fixpoints
+    A2, _ = flow_solve_pallas(code, area, mouth, grid, k=8, mode="A",
+                              interpret=True)
+    _, vis2 = flow_solve_pallas(code, area, mouth, grid, k=8, mode="vis",
+                                interpret=True)
+    np.testing.assert_array_equal(np.asarray(A2), np.asarray(A_ref))
+    np.testing.assert_array_equal(np.asarray(vis2), np.asarray(vis_ref))
+
+
+def test_visbits_interpret_matches_stencil():
+    """The bit-packed vis solver (32 rows per uint32 lane) must reproduce
+    the stencil fixpoint exactly on a grid with interior sinks."""
+    from demiurge_tpu.ops import flow
+    from demiurge_tpu.ops.blur import blur
+    from demiurge_tpu.ops.noise import NoiseParams, fbm
+    from demiurge_tpu.pallas_kernels.visbits import vis_solve_bits
+
+    grid = Grid(128, 64)
+    h = fbm(grid, NoiseParams(octaves=4, scale=2.0, min=-2.0, max=3.0,
+                              seed=3))
+    sel = jnp.ones(grid.shape, jnp.float32)
+    hb = blur(h, grid, 0.5)
+    code = flow.flow_directions(hb, sel, grid)
+    _, mouth, _ = flow.incoming_mask(code, grid)
+    area = flow.cell_area_lower_edge(grid)
+
+    _, vis_ref, _ = flow.flow_solve_stencil(code, area, mouth, grid)
+    vis, sweeps = vis_solve_bits(code, mouth, grid, interpret=True,
+                                 with_stats=True)
+    np.testing.assert_array_equal(np.asarray(vis), np.asarray(vis_ref))
+    assert int(sweeps[0]) > 0
+
 
 def test_advect_pallas_interpret_matches_taps():
     """The fused tap-sampler kernel must match the XLA tap loop exactly."""
