@@ -656,7 +656,9 @@ def flow_filter_device(height, sel, grid: Grid, exponent: float = 0.5,
             from ..pallas_kernels.visbits import (vis_bits_supported,
                                                    vis_solve_bits)
 
+            H = grid.height
             acc, _ = flow_solve_pallas(code, area, mouth, grid, k=8,
+                                       band=64 if H % 64 == 0 else 0,
                                        mode="A")
             if vis_bits_supported(grid):
                 vis = vis_solve_bits(code, mouth, grid)
