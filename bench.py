@@ -92,8 +92,10 @@ def main():
     state = run_n(state)           # compile + warm
     float(probe(state))
 
+    # best-of-5: the shared chip's throughput drifts with co-tenancy on
+    # ~minute scales; the best window is the closest to the chip's real rate
     best = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         state = run_n(state)
         float(probe(state))
