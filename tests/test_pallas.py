@@ -95,6 +95,41 @@ def test_flow_pallas_interpret_matches_stencil():
     np.testing.assert_array_equal(np.asarray(vis2), np.asarray(vis_ref))
 
 
+def test_pressure_resident_interpret_matches_xla():
+    """Single-launch VMEM-resident pressure solve (coefficients loaded
+    once, in-kernel pole-halo refresh) vs the XLA scan."""
+    from demiurge_tpu.pallas_kernels import jacobi
+
+    grid, h, u, v = _setup(256, 128)
+    cfg = OceanConfig(jacobi_iters=40, diffusion_iters=2,
+                      pressure_method="xla")
+    div = ocean.divergence(u, v, h, grid, cfg)
+    px = ocean.pressure_solve(div, h, grid, cfg)
+    pr = jacobi.pressure_solve_resident(div, h, grid, iters=40, k=20,
+                                        interpret=True)
+    scale = float(jnp.abs(px).max()) + 1e-30
+    np.testing.assert_allclose(np.asarray(pr) / scale,
+                               np.asarray(px) / scale, atol=2e-4)
+
+
+def test_diffusion_resident_interpret_matches_xla():
+    """Single-launch resident viscosity solve (both components per launch,
+    sign-flipped velocity pole halos) vs the XLA scan, including a
+    remainder round (50 = 4*12 + 2)."""
+    from demiurge_tpu.pallas_kernels import jacobi
+
+    grid, h, u, v = _setup(256, 128)
+    cfg = OceanConfig(diffusion_iters=50)
+    xu, xv = ocean.diffusion(u, v, h, grid, cfg)
+    ru, rv = jacobi.diffusion_solve_resident(u, v, h, grid, iters=50, k=12,
+                                             interpret=True)
+    scale = float(jnp.abs(xu).max()) + 1e-30
+    np.testing.assert_allclose(np.asarray(ru) / scale,
+                               np.asarray(xu) / scale, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(rv) / scale,
+                               np.asarray(xv) / scale, atol=2e-5)
+
+
 def test_visbits_interpret_matches_stencil():
     """The bit-packed vis solver (32 rows per uint32 lane) must reproduce
     the stencil fixpoint exactly on a grid with interior sinks."""
