@@ -1,7 +1,10 @@
 """Per-component wall-clock profile of the coupled step on the real chip.
 
-Times each sub-pass of model.coupled_step at bench resolution, so
-optimization effort goes where the milliseconds are.  Usage:
+NOTE: one timed dispatch per row — on the shared axon tunnel every call
+pays a fixed ~24 ms dispatch+readback round trip, which swamps sub-ms
+components.  Prefer tools/profile_step3.py (slope-based: the fixed cost
+cancels between two scan lengths); this script remains for quick
+eyeballing.  Usage:
 
     python tools/profile_step.py [W H]
 """
