@@ -92,10 +92,10 @@ def main():
     state = run_n(state)           # compile + warm
     float(probe(state))
 
-    # best-of-5: the shared chip's throughput drifts with co-tenancy on
+    # best-of-7: the shared chip's throughput drifts with co-tenancy on
     # ~minute scales; the best window is the closest to the chip's real rate
     best = float("inf")
-    for _ in range(5):
+    for _ in range(7):
         t0 = time.perf_counter()
         state = run_n(state)
         float(probe(state))
