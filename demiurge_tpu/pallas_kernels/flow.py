@@ -398,7 +398,16 @@ def _change_range(ch):
     return lo, hi
 
 
-def _kernel_fused(K, band, nbands, W, NW, max_rounds, ppad, areapad,
+def _fused_change(A, a0, vis, vis0, mode):
+    ch = jnp.zeros(A.shape, bool)
+    if mode in ('both', 'A'):
+        ch = ch | (A != a0)
+    if mode in ('both', 'vis'):
+        ch = ch | (vis != vis0)
+    return ch
+
+
+def _kernel_fused(K, band, nbands, W, NW, max_rounds, mode, ppad, areapad,
                   apad, vpad, aout, vout, it_ref,
                   avm, vvm, pvm, arvm, anv, vnv, pnv, arnv, sem,
                   plo, phi_, clo, chi_):
@@ -452,8 +461,8 @@ def _kernel_fused(K, band, nbands, W, NW, max_rounds, ppad, areapad,
                  ((aout, avm), (vout, vvm), (ppad, pvm), (areapad, arvm)))])
         a0 = avm[...]
         vis0 = vvm[...]
-        A, vis = _sweep_body(K, pvm[...], arvm[...], a0, vis0)
-        ch = ((A != a0) | (vis != vis0))[K:-K, :]
+        A, vis = _sweep_body(K, pvm[...], arvm[...], a0, vis0, mode=mode)
+        ch = _fused_change(A, a0, vis, vis0, mode)[K:-K, :]
         avm[...] = A
         vvm[...] = vis
         interior = (pl.ds(K, band), slice(None))
@@ -473,8 +482,8 @@ def _kernel_fused(K, band, nbands, W, NW, max_rounds, ppad, areapad,
         a0 = anv[...]
         vis0 = vnv[...]
         A, vis = _sweep_body(K, pnv[...], arnv[...], a0, vis0,
-                             shrink_x=True)
-        ch = ((A != a0) | (vis != vis0))[K:-K, M:NW - M]
+                             shrink_x=True, mode=mode)
+        ch = _fused_change(A, a0, vis, vis0, mode)[K:-K, M:NW - M]
         anv[...] = A
         vnv[...] = vis
         interior = (pl.ds(K, band), pl.ds(M, NW - 2 * M))
@@ -533,10 +542,11 @@ def _kernel_fused(K, band, nbands, W, NW, max_rounds, ppad, areapad,
 
 
 @functools.partial(jax.jit, static_argnames=("grid", "k", "band", "narrow",
-                                             "max_rounds", "interpret"))
+                                             "max_rounds", "mode",
+                                             "interpret"))
 def flow_solve_fused(code, area2d, mouth, grid: Grid, k: int = 16,
                      band: int = 0, narrow: int = 512,
-                     max_rounds: int = 1 << 16,
+                     max_rounds: int = 1 << 16, mode: str = "both",
                      interpret: bool = False):
     """Drop-in for flow_solve_pallas with the round loop fused on-core and
     narrow-window tail tracking (see _kernel_fused).  Returns (A, vis)."""
@@ -556,7 +566,7 @@ def flow_solve_fused(code, area2d, mouth, grid: Grid, k: int = 16,
     fshape = jax.ShapeDtypeStruct((H + 2 * k, W), jnp.float32)
     apad, vpad, _ = pl.pallas_call(
         functools.partial(_kernel_fused, k, band, nbands, W, narrow,
-                          max_rounds),
+                          max_rounds, mode),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
         out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
                    pl.BlockSpec(memory_space=pltpu.ANY),
