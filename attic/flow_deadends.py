@@ -1,40 +1,14 @@
-"""Fused multi-sweep flow-accumulation kernel (Pallas TPU).
+"""Measured-dead-end flow kernels, kept for the record (docs/PERF.md).
 
-ops.flow.flow_solve_stencil iterates an 8-neighbor masked-add relaxation to
-the upstream-accumulation fixpoint; convergence takes longest-flow-path
-(~hundreds at 2048x1024) sweeps, each a full HBM round trip on the XLA
-path.  This kernel runs K sweeps per HBM round trip: row bands staged into
-VMEM with a K-deep halo (validity shrinks one ring per sweep), direction
-masks packed into one int32 field.
-
-Two workload reducers on top of the banding:
-
-- **Active-band skipping**: a band whose cells did not change in the last
-  round — and whose neighbors' didn't either — cannot change this round
-  (information moves at most K <= band rows per round), so its program
-  instance skips the sweeps entirely and copies its state through.  The
-  convergence frontier shrinks to the few bands containing the longest
-  unresolved flow paths, which is where all remaining work lives.
-- **Per-band change flags** double as the convergence test: the solve is
-  done when no band changed, so the driver's while-loop needs no extra
-  full-grid comparison pass.
-
-Sweep semantics are identical to flow_solve_stencil (same fixpoint, same
-f32 summation order — bitwise-equal results):
-
-  A'   = area + sum_d inc_d * shift(A, d)       (upstream area sum)
-  vis' = mouth | (out_d & shift(vis, d))        (mouth reachability)
-
-with the reference's CPU-traversal range rules (x periodic over the
-dateline — the kernel requires wrap_x — y rows clip at the grid edge, no
-pole wrap; reference src/filter/FlowFilter.cpp:39-75).  Out-of-range
-contributions are masked off in the packed field, so halo contents at the
-global y edges never matter.
-
-Packed int32 layout per pixel:
-  bits 0..7  incoming: neighbor at _SCAN_ORDER[i] flows into this pixel
-  bits 8..15 outgoing one-hot: this pixel's code points at _SCAN_ORDER[i]
-  bit  16    river mouth
+Moved out of the production package in round 5: these are real, tested,
+working kernels whose measured verdicts were negative on v5e —
+``flow_solve_wave`` (delta-wave band solver with 3-tier windows: D8
+activity is too spatially diffuse for window tracking),
+``flow_solve_fused`` (whole solve in one launch: per-round launch overhead
+was already negligible), and ``flow_solve_pallas_2d`` (2D tiles: extra DMA
+latency exceeds the window savings).  They share helpers with the
+production banded kernel and still pass their interpret-mode equivalence
+tests (tests/test_pallas.py).
 """
 
 from __future__ import annotations
@@ -46,235 +20,297 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.grid import Grid
-
-#: must match ops.flow._SCAN_ORDER
-_SCAN_ORDER = ((1, 1), (0, 1), (-1, 1), (1, 0), (-1, 0), (1, -1), (0, -1), (-1, -1))
-
-
-def pack_masks(code, mouth, grid: Grid):
-    """Fold the 8 incoming masks, 8 outgoing one-hots and the mouth flag
-    into one int32 field (see module docstring for the range rules)."""
-    from ..ops.flow import _incoming_fields
-    from ..core.topology import DIR_CODE
-
-    H, W = grid.shape
-    packed = jnp.zeros(grid.shape, jnp.int32)
-    for i, ((dx, dy), ok) in enumerate(_incoming_fields(code, grid)):
-        packed = packed | jnp.where(ok, 1 << i, 0)
-    rows = jnp.arange(H).reshape(-1, 1)
-    for i, (dx, dy) in enumerate(_SCAN_ORDER):
-        m = code == DIR_CODE[(dx, dy)]
-        if dy > 0:
-            m = m & (rows < H - dy)
-        elif dy < 0:
-            m = m & (rows >= -dy)
-        packed = packed | jnp.where(m, 1 << (8 + i), 0)
-    packed = packed | jnp.where(mouth, 1 << 16, 0)
-    return packed
+from demiurge_tpu.core.grid import Grid
+from demiurge_tpu.pallas_kernels.flow import (
+    _SCAN_ORDER,
+    _change_range,
+    _pad_zero_rows,
+    _pick_band,
+    _sweep_body,
+    pack_masks,
+)
 
 
-def _windows(x, band, k, nbands):
-    return jnp.stack([x[i * band:i * band + band + 2 * k]
-                      for i in range(nbands)], 0)
+def _kernel2d(K, HX, ty, tx, nby, nbx, flags_ref, ppad, areapad, apad, vpad,
+              aout, vout, chg_ref, avm, vvm, pvm, arvm, sem):
+    """2D-tiled variant with manual DMA: tiles whose 3x3 neighborhood was
+    quiet last round skip both the copies and the compute (the convergence
+    frontier is local in x as well as y).  aout/vout alias apad/vpad, so a
+    skipped tile's state simply stays in place; within one call, tiles run
+    sequentially and later tiles see earlier tiles' writes (Gauss-Seidel
+    ordering — converges to the same unique fixpoint, often in fewer
+    rounds)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    t = i * nbx + j
 
+    act = jnp.int32(0)
+    for di in (-1, 0, 1):
+        ii = jnp.clip(i + di, 0, nby - 1)
+        for dj in (-1, 0, 1):
+            jj = (j + dj + nbx) % nbx    # x wraps over the dateline
+            act = act | flags_ref[ii * nbx + jj]
 
-def _pad_zero_rows(x, k):
-    H, W = x.shape
-    z = jnp.zeros((k, W), x.dtype)
-    return jnp.concatenate([z, x, z], 0)
-
-
-def _kernel(K, band, nbands, mode, flags_ref, ppad, areapad, apad, vpad,
-            aout, vout, chg_ref, avm, vvm, pvm, arvm, sem):
-    """Manual-DMA band kernel over padded (H+2K, W) carries.
-
-    aout/vout alias apad/vpad: a skipped band's state stays in place with
-    no copies at all, and later bands see earlier bands' same-round writes
-    (Gauss-Seidel ordering — same unique fixpoint, faster convergence).
-    The driver's while-loop body is a bare pallas_call: no per-round
-    pad/window reshuffles in HBM.
-
-    ``mode``: 'both' solves (A, vis) jointly; 'A'/'vis' solve one half only
-    (the other is DMA'd nowhere and passes through via the aliasing) — the
-    two halves' convergence waves travel in opposite directions along a
-    river (A downstream, vis upstream), so split solves keep far fewer
-    bands active per round than the union the joint solve pays for."""
-    do_A = mode in ("both", "A")
-    do_v = mode in ("both", "vis")
-    b = pl.program_id(0)
-    left = flags_ref[jnp.maximum(b - 1, 0)]
-    right = flags_ref[jnp.minimum(b + 1, nbands - 1)]
-    active = (flags_ref[b] | left | right) != 0
-
-    @pl.when(active)
+    @pl.when(act != 0)
     def _run():
-        r0 = b * band
-        win = (pl.ds(r0, band + 2 * K), slice(None))
-        pairs = [(ppad, pvm)]
-        if do_A:
-            pairs += [(apad, avm), (areapad, arvm)]
-        if do_v:
-            pairs += [(vpad, vvm)]
+        # x halo is HX=128 wide (DMA lane slices must be 128-aligned in
+        # both shape and offset); y halo is the K rows the sweeps need
+        r0 = i * ty
+        c0 = j * tx
+        win = (pl.ds(r0, ty + 2 * K), pl.ds(c0, tx + 2 * HX))
         copies = [pltpu.make_async_copy(src.at[win], dst, sem.at[n])
-                  for n, (src, dst) in enumerate(pairs)]
+                  for n, (src, dst) in enumerate(
+                      ((apad, avm), (vpad, vvm), (ppad, pvm),
+                       (areapad, arvm)))]
         for cp in copies:
             cp.start()
         for cp in copies:
             cp.wait()
         a0 = avm[...]
-        # vvm holds no DMA'd data when do_v is False; feed zeros instead of
-        # reading uninitialized scratch (the result would be provably dead,
-        # but the read is fragile against future edits to the sweep logic)
-        vis0 = vvm[...] if do_v else jnp.zeros_like(avm)
-        A, vis = _sweep_body(K, pvm[...], arvm[...], a0, vis0, mode=mode)
-        changed = jnp.asarray(False)
-        if do_A:
-            changed = changed | jnp.any(A[K:-K, :] != a0[K:-K, :])
-        if do_v:
-            changed = changed | jnp.any(vis[K:-K, :] != vis0[K:-K, :])
+        vis0 = vvm[...]
+        A, vis = _sweep_body(K, pvm[...], arvm[...], a0, vis0)
+        changed = (jnp.any(A[K:-K, HX:-HX] != a0[K:-K, HX:-HX])
+                   | jnp.any(vis[K:-K, HX:-HX] != vis0[K:-K, HX:-HX]))
         avm[...] = A
-        if do_v:
-            vvm[...] = vis
-        interior = (pl.ds(K, band), slice(None))
-        out_at = (pl.ds(r0 + K, band), slice(None))
-        wpairs = ([(avm, aout)] if do_A else []) \
-            + ([(vvm, vout)] if do_v else [])
+        vvm[...] = vis
+        interior = (pl.ds(K, ty), pl.ds(HX, tx))
+        out_at = (pl.ds(r0 + K, ty), pl.ds(c0 + HX, tx))
         wcopies = [pltpu.make_async_copy(vm.at[interior], out.at[out_at],
                                          sem.at[n])
-                   for n, (vm, out) in enumerate(wpairs)]
+                   for n, (vm, out) in enumerate(((avm, aout), (vvm, vout)))]
         for cp in wcopies:
             cp.start()
         for cp in wcopies:
             cp.wait()
-        chg_ref[b] = changed.astype(jnp.int32)
+        chg_ref[t] = changed.astype(jnp.int32)
 
-    @pl.when(jnp.logical_not(active))
+    @pl.when(act == 0)
     def _skip():
-        chg_ref[b] = 0
+        chg_ref[t] = 0
 
 
-def _sweep_body(K, packed, area, a0, vis0, shrink_x: bool = False,
-                mode: str = "both"):
-    """Up to K Jacobi sweeps of the (A, vis) relaxation on one padded block,
-    with early exit: after sweep s, if every row in [s, rows-s) is
-    unchanged, nothing valid is left to propagate — halo ring i is only
-    valid for i sweeps, and rings shallower than s are already stale, so
-    their churn can never reach the kept interior (depth K > s).  Most
-    bands that run only because a neighbor was active converge in one
-    sweep and exit immediately, which is where the convergence tail's
-    wasted work lives.
+def _pad2d(x, ky, kx):
+    """(H, W) -> (H+2ky, W+2kx): x halos dateline-wrapped, y halos zero
+    (contents masked off by the range rules)."""
+    xp = jnp.concatenate([x[:, -kx:], x, x[:, :kx]], 1)
+    zr = jnp.zeros((ky, x.shape[1] + 2 * kx), x.dtype)
+    return jnp.concatenate([zr, xp, zr], 0)
 
-    ``shrink_x`` applies the same stale-ring logic to columns — for
-    non-periodic narrow windows whose x edges wrap garbage (the done test
-    then ignores the outer s+1 columns).
 
-    Shared by the banded kernels; all arrays have the same padded shape.
-    Returns (A, vis) after <= K sweeps (fixpoint-identical to running
-    all K)."""
-    rows, W = area.shape
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, W), 0)
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, W), 1)
+def _refresh_xwrap(xp, kx):
+    """Re-mirror the dateline halo columns after in-place interior updates."""
+    W = xp.shape[1] - 2 * kx
+    xp = jax.lax.dynamic_update_slice(xp, xp[:, W:W + kx], (0, 0))
+    xp = jax.lax.dynamic_update_slice(xp, xp[:, kx:2 * kx], (0, W + kx))
+    return xp
 
-    # unpack the 17 mask bits ONCE per visit into f32 multiplier fields:
-    # the sweep then runs on fused multiply-adds instead of per-use
-    # bit-test/select chains (explicit f32 values, not vmasks — 17 live
-    # boolean vmasks blow the scoped-vmem budget, 17 f32 fields are ~13MB
-    # and amortize over every sweep of the visit)
-    do_A = mode in ("both", "A")
-    do_v = mode in ("both", "vis")
-    inc = [((packed >> i) & 1).astype(jnp.float32) for i in range(8)] \
-        if do_A else None
-    outm = [((packed >> (8 + i)) & 1).astype(jnp.float32) for i in range(8)] \
-        if do_v else None
-    mouthf = ((packed >> 16) & 1).astype(jnp.float32) if do_v else None
 
-    def apply_sweep(A, vis):
-        # 3 row slabs + shared lane rolls: 8 rolls per array per sweep
-        # (row r reads r+dy <=> roll by (-dy) % rows; col c reads c+dx)
-        newA, newvis = A, vis
-        if do_A:
-            Aslab = {dy: pltpu.roll(A, (-dy) % rows, 0) if dy else A
-                     for dy in (-1, 0, 1)}
-            newA = area
-        if do_v:
-            vslab = {dy: pltpu.roll(vis, (-dy) % rows, 0) if dy else vis
-                     for dy in (-1, 0, 1)}
-            newvis = mouthf
-        for i, (dx, dy) in enumerate(_SCAN_ORDER):
-            if do_A:
-                Ad = Aslab[dy]
-                if dx:
-                    Ad = pltpu.roll(Ad, (-dx) % W, 1)
-                newA = newA + inc[i] * Ad
-            if do_v:
-                vd = vslab[dy]
-                if dx:
-                    vd = pltpu.roll(vd, (-dx) % W, 1)
-                newvis = jnp.maximum(newvis, outm[i] * vd)
-        return newA, newvis
+def _pick_tiles(H: int, W: int):
+    ty = next((b for b in (128, 64, 32) if H % b == 0), 0)
+    tx = next((b for b in (512, 256, 128) if W % b == 0), 0)
+    return ty, tx
 
-    def check_done(A, vis, newA, newvis, s_next):
-        # ring s_next is the last sweep's validity window; A/vis are
-        # monotone nondecreasing, so no-change between consecutive sweeps
-        # (at any ring depth) certifies the local fixpoint
-        live = (row_iota >= s_next) & (row_iota < rows - s_next)
-        if shrink_x:
-            live = live & (col_iota >= s_next) & (col_iota < W - s_next)
-        ch = jnp.zeros_like(live)
-        if do_A:
-            ch = ch | (newA != A)
-        if do_v:
-            ch = ch | (newvis != vis)
-        return jnp.logical_not(jnp.any(live & ch))
 
-    if K % 2 == 0:
-        # two sweeps per trip, one fixpoint check: halves the live-ring
-        # bookkeeping (the extra sweep at a reached fixpoint is a bitwise
-        # no-op, so results are identical)
-        def sweep(carry):
-            A, vis, s, _ = carry
-            A1, vis1 = apply_sweep(A, vis)
-            A2, vis2 = apply_sweep(A1, vis1)
-            done = check_done(A1, vis1, A2, vis2, s + 2)
-            return A2, vis2, s + 2, done
-    else:
-        def sweep(carry):
-            A, vis, s, _ = carry
-            newA, newvis = apply_sweep(A, vis)
-            done = check_done(A, vis, newA, newvis, s + 1)
-            return newA, newvis, s + 1, done
+@functools.partial(jax.jit, static_argnames=("grid", "k", "max_iters"))
+def flow_solve_pallas_2d(code, area2d, mouth, grid: Grid, k: int = 16,
+                         max_iters: int = 1 << 20):
+    """2D-tiled flow solve (see _kernel2d).  TPU-only (manual DMA)."""
+    H, W = grid.shape
+    HX = 128   # x-halo width: DMA lane slices need 128-aligned shape/offset
+    ty, tx = _pick_tiles(H, W)
+    assert ty and tx and grid.wrap_x and k <= min(ty, tx), (H, W, ty, tx, k)
+    assert k <= HX
+    nby, nbx = H // ty, W // tx
+
+    packed = pack_masks(code, mouth, grid)
+    ppad = _pad2d(packed, k, HX)
+    areapad = _pad2d(area2d, k, HX)
+
+    apad0 = _pad2d(area2d, k, HX)
+    vpad0 = _pad2d(jnp.where(mouth, 1.0, 0.0), k, HX)
+    flags0 = jnp.ones((nby * nbx,), jnp.int32)
+
+    fshape = jax.ShapeDtypeStruct((H + 2 * k, W + 2 * HX), jnp.float32)
+    call = pl.pallas_call(
+        functools.partial(_kernel2d, k, HX, ty, tx, nby, nbx),
+        grid=(nby, nbx),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(fshape, fshape,
+                   jax.ShapeDtypeStruct((nby * nbx,), jnp.int32)),
+        input_output_aliases={3: 0, 4: 1},  # apad -> aout, vpad -> vout
+        scratch_shapes=[
+            pltpu.VMEM((ty + 2 * k, tx + 2 * HX), jnp.float32),
+            pltpu.VMEM((ty + 2 * k, tx + 2 * HX), jnp.float32),
+            pltpu.VMEM((ty + 2 * k, tx + 2 * HX), jnp.int32),
+            pltpu.VMEM((ty + 2 * k, tx + 2 * HX), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
 
     def cond(carry):
-        _, _, s, done = carry
-        return (s < K) & jnp.logical_not(done)
+        _, _, flags, it = carry
+        return jnp.any(flags != 0) & (it < max_iters)
 
-    A, vis, _, _ = jax.lax.while_loop(
-        cond, sweep, (a0, vis0, jnp.int32(0), jnp.asarray(False)))
-    return A, vis
+    def body(carry):
+        apad, vpad, flags, it = carry
+        aout, vout, chg = call(flags, ppad, areapad, apad, vpad)
+        return (_refresh_xwrap(aout, HX), _refresh_xwrap(vout, HX), chg,
+                it + k)
 
-
-def _change_range(ch):
-    """(lo, hi) column range of a 2D change mask; (BIG, -1) when empty."""
-    rows, w = ch.shape
-    ci = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1)
-    lo = jnp.min(jnp.where(ch, ci, jnp.int32(1 << 30)))
-    hi = jnp.max(jnp.where(ch, ci, jnp.int32(-1)))
-    return lo, hi
-
-
-def _pick_band(H: int) -> int:
-    # 128 edges out 64 for the split banded solves (fewer band flags and
-    # launches per round; the in-sweep early exit keeps the deeper bands'
-    # extra rows cheap) — tools/flow_tune.py
-    for band in (128, 64, 32):
-        if H % band == 0:
-            return band
-    return 0
+    apad, vpad, _, _ = jax.lax.while_loop(
+        cond, body, (apad0, vpad0, flags0, 0))
+    A = apad[k:-k, HX:-HX]
+    vis = vpad[k:-k, HX:-HX]
+    return A, vis > 0.5
 
 
-def flow_solve_supported(grid: Grid) -> bool:
-    return grid.wrap_x and _pick_band(grid.height) > 0
+def _fused_change(A, a0, vis, vis0, mode):
+    ch = jnp.zeros(A.shape, bool)
+    if mode in ('both', 'A'):
+        ch = ch | (A != a0)
+    if mode in ('both', 'vis'):
+        ch = ch | (vis != vis0)
+    return ch
+
+
+def _kernel_fused(K, band, nbands, W, NW, max_rounds, mode, ppad, areapad,
+                  apad, vpad, aout, vout, it_ref,
+                  avm, vvm, pvm, arvm, anv, vnv, pnv, arnv, sem,
+                  plo, phi_, clo, chi_):
+    """Whole solve in ONE kernel launch: the round loop, per-band active
+    skipping, the convergence test, AND active-column tracking all run
+    on-core.
+
+    Two workload reducers on top of the banded relaxation:
+
+    - **Active-range skipping** (SMEM ``plo/phi_`` per band): a band runs
+      only if the merged change range of itself and its row neighbors from
+      the previous round is nonempty (change moves <= K <= band rows per
+      round).  Rounds walk the bands serpentine (even rounds south->north,
+      odd reversed): Gauss-Seidel in both directions, so drainage running
+      against the band order still moves multiple bands per round.
+    - **Narrow windows**: the convergence tail is a handful of long rivers
+      whose frontier spans ~K columns; when the merged range (padded by K
+      propagation + M=128 DMA-alignment margin each side) fits in an
+      NW-column window away from the dateline seam, the band is DMA'd,
+      swept, and written back through that window — per-sweep cost drops
+      by W/NW (4x at 2048).  A range touching the seam falls back to full
+      width (the narrow window is not x-periodic).
+
+    Correctness of the margins: A and vis are monotone nondecreasing under
+    the sweep (sums/ORs of nonnegative contributions from below the
+    fixpoint), so the final-vs-start change mask captures every cell that
+    moved, and a cell can only move if an input within K columns moved
+    last round.  aout/vout alias apad/vpad: the padded carries in HBM are
+    read and written in place, later bands seeing earlier bands' same-
+    round writes.
+    """
+    i32 = jnp.int32
+    M = 128           # DMA lane-alignment margin (writeback offsets)
+    BIG = 1 << 30
+
+    for b in range(nbands):
+        plo[b] = 0
+        phi_[b] = W - 1
+
+    def dma(copies):
+        for cp in copies:
+            cp.start()
+        for cp in copies:
+            cp.wait()
+
+    def run_full(b, *_):
+        r0 = b * band
+        win = (pl.ds(r0, band + 2 * K), slice(None))
+        dma([pltpu.make_async_copy(src.at[win], dst, sem.at[n])
+             for n, (src, dst) in enumerate(
+                 ((aout, avm), (vout, vvm), (ppad, pvm), (areapad, arvm)))])
+        a0 = avm[...]
+        vis0 = vvm[...]
+        A, vis = _sweep_body(K, pvm[...], arvm[...], a0, vis0, mode=mode)
+        ch = _fused_change(A, a0, vis, vis0, mode)[K:-K, :]
+        avm[...] = A
+        vvm[...] = vis
+        interior = (pl.ds(K, band), slice(None))
+        out_at = (pl.ds(r0 + K, band), slice(None))
+        dma([pltpu.make_async_copy(vm.at[interior], out.at[out_at],
+                                   sem.at[n])
+             for n, (vm, out) in enumerate(((avm, aout), (vvm, vout)))])
+        return _change_range(ch)
+
+    def run_narrow(b, o):
+        r0 = b * band
+        o = pl.multiple_of(o, 128)  # Mosaic can't infer the alignment
+        win = (pl.ds(r0, band + 2 * K), pl.ds(o, NW))
+        dma([pltpu.make_async_copy(src.at[win], dst, sem.at[n])
+             for n, (src, dst) in enumerate(
+                 ((aout, anv), (vout, vnv), (ppad, pnv), (areapad, arnv)))])
+        a0 = anv[...]
+        vis0 = vnv[...]
+        A, vis = _sweep_body(K, pnv[...], arnv[...], a0, vis0,
+                             shrink_x=True, mode=mode)
+        ch = _fused_change(A, a0, vis, vis0, mode)[K:-K, M:NW - M]
+        anv[...] = A
+        vnv[...] = vis
+        interior = (pl.ds(K, band), pl.ds(M, NW - 2 * M))
+        out_at = (pl.ds(r0 + K, band), pl.ds(o + M, NW - 2 * M))
+        dma([pltpu.make_async_copy(vm.at[interior], out.at[out_at],
+                                   sem.at[n])
+             for n, (vm, out) in enumerate(((anv, aout), (vnv, vout)))])
+        lo, hi = _change_range(ch)
+        return jnp.where(hi >= 0, lo + o + M, BIG), \
+            jnp.where(hi >= 0, hi + o + M, -1)
+
+    def band_step(i, carry):
+        rnd, anyhi = carry
+        b = jnp.where(rnd % 2 == 0, i, nbands - 1 - i)
+        bl = jnp.maximum(b - 1, 0)
+        br = jnp.minimum(b + 1, nbands - 1)
+        rlo = jnp.minimum(jnp.minimum(plo[bl], plo[b]), plo[br])
+        rhi = jnp.maximum(jnp.maximum(phi_[bl], phi_[b]), phi_[br])
+        active = rhi >= 0
+
+        # narrow window [o, o+NW): changeable cells [rlo-K, rhi+K] must sit
+        # inside the aligned writeback region [o+M, o+NW-M)
+        if W > NW:  # narrow path statically possible
+            o = jnp.maximum((rlo - K - M) // M * M, 0)
+            narrow = active & (rlo - K - M >= 0) & (o + NW <= W) \
+                & (rhi + K < o + NW - M)
+            run = lambda b, o, narrow: jax.lax.cond(  # noqa: E731
+                narrow, run_narrow, run_full, b, o)
+        else:
+            o = jnp.int32(0)
+            narrow = jnp.asarray(False)
+            run = lambda b, o, narrow: run_full(b, o)  # noqa: E731
+
+        lo, hi = jax.lax.cond(
+            active, run,
+            lambda b, o, narrow: (i32(BIG), i32(-1)),
+            b, o, narrow)
+        clo[b] = lo
+        chi_[b] = hi
+        return rnd, jnp.maximum(anyhi, hi)
+
+    def round_body(carry):
+        rnd, _ = carry
+        _, anyhi = jax.lax.fori_loop(0, nbands, band_step, (rnd, i32(-1)))
+        for b in range(nbands):
+            plo[b] = clo[b]
+            phi_[b] = chi_[b]
+        return rnd + 1, anyhi
+
+    def round_cond(carry):
+        rnd, anyhi = carry
+        return (anyhi >= 0) & (rnd < max_rounds)
+
+    rnd, _ = jax.lax.while_loop(round_cond, round_body, (i32(0), i32(0)))
+    it_ref[0] = rnd
 
 
 @functools.partial(jax.jit, static_argnames=("grid", "k", "band", "narrow",
@@ -821,88 +857,3 @@ def flow_solve_wave(code, area2d, mouth, grid: Grid, band: int = 0,
     return A, vis
 
 
-def _pick_band(H: int) -> int:
-    # 128 edges out 64 for the split banded solves (fewer band flags and
-    # launches per round; the in-sweep early exit keeps the deeper bands'
-    # extra rows cheap) — tools/flow_tune.py
-    for band in (128, 64, 32):
-        if H % band == 0:
-            return band
-    return 0
-
-
-def flow_solve_supported(grid: Grid) -> bool:
-    return grid.wrap_x and _pick_band(grid.height) > 0
-
-
-def flow_solve_2d_supported(grid: Grid, k: int = 16) -> bool:
-    ty, tx = _pick_tiles(grid.height, grid.width)
-    return bool(grid.wrap_x and ty and tx and k <= min(ty, tx)
-                and grid.width // tx >= 2)
-
-
-@functools.partial(jax.jit, static_argnames=("grid", "k", "band",
-                                             "max_iters", "mode",
-                                             "interpret"))
-def flow_solve_pallas(code, area2d, mouth, grid: Grid, k: int = 16,
-                      band: int = 0, max_iters: int = 1 << 20,
-                      mode: str = "both", interpret: bool = False):
-    """Drop-in for ops.flow.flow_solve_stencil (no lake connections, no
-    root tracking — the jittable hot path).  Returns (A, vis bool).
-
-    ``mode='A'``/``'vis'`` solve one half only (see _kernel); the other
-    half passes through unchanged (vis stays the mouth seed / A stays
-    area)."""
-    H, W = grid.shape
-    band = band or _pick_band(H)
-    assert band > 0 and H % band == 0 and grid.wrap_x, (grid.shape, band)
-    assert k <= band, (k, band)  # change propagates <= 1 band per round
-    nbands = H // band
-
-    packed = pack_masks(code, mouth, grid)
-    ppad = _pad_zero_rows(packed, k)
-    areapad = _pad_zero_rows(area2d, k)
-    apad0 = _pad_zero_rows(area2d, k)
-    vpad0 = _pad_zero_rows(jnp.where(mouth, 1.0, 0.0), k)
-    flags0 = jnp.ones((nbands,), jnp.int32)
-
-    fshape = jax.ShapeDtypeStruct((H + 2 * k, W), jnp.float32)
-    call = pl.pallas_call(
-        functools.partial(_kernel, k, band, nbands, mode),
-        grid=(nbands,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pl.ANY)] * 4,
-        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
-                   pl.BlockSpec(memory_space=pl.ANY),
-                   # chg is one shared (nbands,) SMEM vector: each
-                   # (sequential) grid step writes its own slot
-                   pl.BlockSpec(memory_space=pltpu.SMEM)),
-        out_shape=(fshape, fshape,
-                   jax.ShapeDtypeStruct((nbands,), jnp.int32)),
-        input_output_aliases={3: 0, 4: 1},  # apad -> aout, vpad -> vout
-        scratch_shapes=[
-            pltpu.VMEM((band + 2 * k, W), jnp.float32),
-            pltpu.VMEM((band + 2 * k, W), jnp.float32),
-            pltpu.VMEM((band + 2 * k, W), jnp.int32),
-            pltpu.VMEM((band + 2 * k, W), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
-        ],
-        # the sweep's live set exceeds the 16MB default scoped-vmem
-        # budget at band=128, k=16; v5e has 128MB of VMEM
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )
-
-    def cond(carry):
-        _, _, flags, it = carry
-        return jnp.any(flags != 0) & (it < max_iters)
-
-    def body(carry):
-        apad, vpad, flags, it = carry
-        aout, vout, chg = call(flags, ppad, areapad, apad, vpad)
-        return aout, vout, chg, it + k
-
-    apad, vpad, _, _ = jax.lax.while_loop(
-        cond, body, (apad0, vpad0, flags0, 0))
-    return apad[k:-k], vpad[k:-k] > 0.5

@@ -639,7 +639,9 @@ def flow_filter_device(height, sel, grid: Grid, exponent: float = 0.5,
         acc, vis = flow_solve_sharded(code, area, mouth, grid, mesh)
         return jnp.where(vis, jnp.power(acc, exponent), -1.0)
 
-    if jax.default_backend() == "tpu" and jax.device_count() == 1:
+    from ..core.platform import single_core_pallas
+
+    if single_core_pallas():
         from ..pallas_kernels.flow import (flow_solve_pallas,
                                            flow_solve_supported)
 

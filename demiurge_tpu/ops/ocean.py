@@ -170,7 +170,9 @@ def _advect_sample_fast(u, v, s2, t2, grid: Grid, Rx: int, Ry: int,
     c = jnp.arange(W, dtype=jnp.float32).reshape(1, -1)
     r = jnp.arange(H, dtype=jnp.float32).reshape(-1, 1)
 
-    if jax.default_backend() == "tpu" and H % 32 == 0:
+    from ..core.platform import single_core_pallas
+
+    if single_core_pallas() and H % 32 == 0:
         from ..pallas_kernels.advect import (advect_sample_tiered,
                                              strip_radii)
 
@@ -323,8 +325,9 @@ def _use_pallas_pressure(grid: Grid, cfg: OceanConfig) -> bool:
     # than XLA, and the single-core kernel would force replication of
     # sharded arrays on a multi-chip mesh — distributed runs route through
     # dist.halo via the ``mesh`` argument instead)
-    return (bandable and jax.default_backend() == "tpu"
-            and jax.device_count() == 1)
+    from ..core.platform import single_core_pallas
+
+    return bandable and single_core_pallas()
 
 
 def _pole_flip_mask(dy: int, grid: Grid):
@@ -360,8 +363,9 @@ def diffusion(u, v, terrain, grid: Grid, cfg: OceanConfig, mesh=None):
 
         return diffusion_solve_sharded(u, v, terrain, grid, mesh,
                                        iters=cfg.diffusion_iters)
-    if (not cfg.exact_quirks and jax.default_backend() == "tpu"
-            and jax.device_count() == 1):
+    from ..core.platform import single_core_pallas
+
+    if not cfg.exact_quirks and single_core_pallas():
         from ..pallas_kernels.jacobi import (diffusion_resident_supported,
                                              diffusion_solve_pallas,
                                              diffusion_solve_resident,

@@ -108,7 +108,9 @@ def temperature_step(T, terrain, i0, grid: Grid, substeps: int = 10,
 
     Returns (T_new, i0 + substeps).
     """
-    if jax.default_backend() == "tpu" and jax.device_count() == 1:
+    from ..core.platform import single_core_pallas
+
+    if single_core_pallas():
         from ..pallas_kernels.climate import (climate_step_pallas,
                                               climate_supported)
 

@@ -236,7 +236,9 @@ def advect_sample_tiered(u, v, dx, dy, grid, vmax: float = 1.0,
                          timestep: float = 24.0, Ry: int = 2,
                          interpret: bool = False):
     """Velocity-aware tiered tap sampler: 32-row strips grouped by their
-    static x-radius (strip_radii), one pallas_call per distinct radius.
+    static x-radius (strip_radii), ONE pallas_call over all strips — the
+    per-strip radius arrives as SMEM metadata and bounds a dynamic tap
+    loop, so mid-latitude strips run few taps and polar strips many.
     dx must already be clamped per row to the strip radius
     (ops.ocean does this with the same strip table); dy to Ry.
 

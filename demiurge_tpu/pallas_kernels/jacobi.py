@@ -319,8 +319,8 @@ def _resident_call(coeffs, fields, grid: Grid, k: int, iters: int,
     outs = pl.pallas_call(
         functools.partial(_kernel_resident, k, nrounds, rem, R, W, block,
                           nfields, has_b, wrapS, wrapN, negate),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (ncoef + nfields),
-        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.ANY)] * nfields),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (ncoef + nfields),
+        out_specs=tuple([pl.BlockSpec(memory_space=pl.ANY)] * nfields),
         out_shape=tuple([fshape] * nfields),
         input_output_aliases={ncoef + i: i for i in range(nfields)},
         scratch_shapes=[pltpu.VMEM((R, W), jnp.float32)] * ncoef
@@ -345,7 +345,7 @@ def _pick_kb(H: int, iters: int, kmax: int = 32):
     for k in (25, 20, 16, 10, 8, 5, 4, 2, 1):
         if k <= min(kmax, band) and iters % k == 0:
             return k, band
-    return 8, band
+    return 1, band  # k=1 always divides iters; keep the exact-divisor invariant
 
 
 @functools.partial(jax.jit,
@@ -358,9 +358,11 @@ def pressure_solve_pallas(divw, terrain, grid: Grid, iters: int = 5000,
     reassociation-level differences).  iters rounds up to a multiple of k;
     k/band default to _pick_kb's deepest exact-divisor choice."""
     H, W = grid.shape
-    if not (k and band):
-        k, band = _pick_kb(H, iters)
-    assert k and band and H % band == 0, (H, band)
+    pk, pband = _pick_kb(H, iters)
+    k = k or pk
+    band = band or pband
+    assert k and band and H % band == 0 and iters % k == 0, (
+        grid.shape, iters, k, band)
     cN, cS, cE, cW, cC, b = _coefficients(divw, terrain, grid)
     pcN, pcS, others = _pad_coeff(cN, cS, (cE, cW, cC, b), k, grid)
     nbands = H // band
@@ -486,8 +488,9 @@ def diffusion_solve_pallas(u, v, terrain, grid: Grid, iters: int = 50,
     count and masks as the XLA scan; f32 reassociation-level differences
     only."""
     H, W = grid.shape
-    if not (k and band):
-        k, band = _pick_kb(H, iters)
+    pk, pband = _pick_kb(H, iters)
+    k = k or pk
+    band = band or pband
     assert k and band and H % band == 0 and iters % k == 0, (
         grid.shape, iters, k, band)
     cN, cS, cE, cW, cC = _diffusion_coefficients(terrain, grid)

@@ -267,7 +267,7 @@ def test_flow_wave_interpret_matches_stencil():
     from demiurge_tpu.ops import flow
     from demiurge_tpu.ops.blur import blur
     from demiurge_tpu.ops.noise import NoiseParams, fbm
-    from demiurge_tpu.pallas_kernels.flow import flow_solve_wave
+    from attic.flow_deadends import flow_solve_wave
 
     from demiurge_tpu import Grid as G
 

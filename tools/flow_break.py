@@ -40,8 +40,8 @@ def main():
     from demiurge_tpu.ops import flow
     from demiurge_tpu.ops.blur import blur
     from demiurge_tpu.ops.noise import NoiseParams, fbm
-    from demiurge_tpu.pallas_kernels.flow import (flow_solve_fused,
-                                                  flow_solve_pallas)
+    from attic.flow_deadends import flow_solve_fused
+    from demiurge_tpu.pallas_kernels.flow import flow_solve_pallas
 
     grid = Grid(W, H)
     h = fbm(grid, NoiseParams(mode="default", octaves=6, scale=2.0,

@@ -32,9 +32,8 @@ def main():
     from demiurge_tpu.ops.blur import blur
     from demiurge_tpu.ops.noise import NoiseParams, fbm
     from demiurge_tpu.ops.ocean import OceanConfig
-    from demiurge_tpu.pallas_kernels.flow import (flow_solve_fused,
-                                                  flow_solve_pallas,
-                                                  flow_solve_wave)
+    from attic.flow_deadends import flow_solve_fused, flow_solve_wave
+    from demiurge_tpu.pallas_kernels.flow import flow_solve_pallas
 
     grid = Grid(W, H)
     h = fbm(grid, NoiseParams(mode="default", octaves=6, scale=2.0,
