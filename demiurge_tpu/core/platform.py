@@ -18,3 +18,10 @@ def single_core_pallas() -> bool:
     """True iff single-TensorCore Pallas fast paths are safe to dispatch:
     the backend is TPU and this process drives exactly one device."""
     return jax.default_backend() == "tpu" and jax.device_count() == 1
+
+
+def tpu_backend() -> bool:
+    """True iff the TPU backend is active — for code that is ALREADY
+    per-device (inside a shard_map body), where a Pallas call is safe
+    regardless of device count.  Anywhere else use single_core_pallas()."""
+    return jax.default_backend() == "tpu"

@@ -103,6 +103,70 @@ def exchange_halo(block, k: int, grid: Grid, mesh: Mesh,
     return jnp.concatenate([south, block, north], axis=0)
 
 
+def exchange_rows_halo(block, k: int, mesh: Mesh, grid: Grid,
+                       edge: str = "reflect"):
+    """k-row halo exchange in the FLATTENED row-group layout.
+
+    ``block`` is (rows_loc, W): device (yi, xi) holds full-width rows
+    [(yi*nx + xi) * rows_loc, ...) — the layout produced by an all_to_all
+    along 'x' (see dist.flowdist).  The south neighbor of device g is
+    g-1, i.e. (yi, xi-1) or, at xi == 0, (yi-1, nx-1): one x-ring
+    ppermute plus a conditional y ppermute.
+
+    ``edge`` handles the halo beyond the global first/last row:
+    'reflect' = pole wrap (flipped rows at antipodal longitude — LOCAL in
+    this layout, since rows are full-width), 'clamp' = repeat the edge
+    row (GL_CLAMP_TO_EDGE), 'zero' = zeros.
+    Returns (rows_loc + 2k, W)."""
+    ny = mesh.shape["y"]
+    nx = mesh.shape["x"]
+    W = block.shape[1]
+    yi = jax.lax.axis_index("y")
+    xi = jax.lax.axis_index("x")
+
+    def from_prev(tail):  # south halo: last k rows of device g-1
+        v = jax.lax.ppermute(tail, "x", _perm_ring(nx, 1)) if nx > 1 else tail
+        if ny > 1:
+            vy = jax.lax.ppermute(v, "y", [(i, i + 1) for i in range(ny - 1)])
+            v = jnp.where(xi == 0, vy, v)
+        elif nx == 1:
+            v = jnp.zeros_like(v)  # single device: no interior neighbor
+        else:
+            v = jnp.where(xi == 0, jnp.zeros_like(v), v)
+        return v
+
+    def from_next(head):  # north halo: first k rows of device g+1
+        v = jax.lax.ppermute(head, "x", _perm_ring(nx, -1)) if nx > 1 \
+            else head
+        if ny > 1:
+            vy = jax.lax.ppermute(v, "y", [(i + 1, i) for i in range(ny - 1)])
+            v = jnp.where(xi == nx - 1, vy, v)
+        elif nx == 1:
+            v = jnp.zeros_like(v)
+        else:
+            v = jnp.where(xi == nx - 1, jnp.zeros_like(v), v)
+        return v
+
+    south = from_prev(block[-k:, :])
+    north = from_next(block[:k, :])
+
+    if edge == "reflect":
+        s_edge = jnp.roll(jnp.flip(block[:k, :], 0), -(W // 2), 1)
+        n_edge = jnp.roll(jnp.flip(block[-k:, :], 0), -(W // 2), 1)
+    elif edge == "clamp":
+        s_edge = jnp.broadcast_to(block[0:1, :], (k, W))
+        n_edge = jnp.broadcast_to(block[-1:, :], (k, W))
+    else:
+        s_edge = jnp.zeros((k, W), block.dtype)
+        n_edge = jnp.zeros((k, W), block.dtype)
+
+    at_s = (yi == 0) & (xi == 0)
+    at_n = (yi == ny - 1) & (xi == nx - 1)
+    south = jnp.where(at_s, s_edge, south)
+    north = jnp.where(at_n, n_edge, north)
+    return jnp.concatenate([south, block, north], axis=0)
+
+
 def _swap_pole_rows(a, b, k, grid: Grid, mesh: Mesh):
     """In pole-reflected halo rows, 'padded north' is 'sphere south': swap
     an (N, S) coefficient pair there so halo rows' own sweep updates use
@@ -125,6 +189,62 @@ def _sweep5(p, cN, cS, cE, cW, cC, b):
     pE = jnp.roll(p, -1, 1)
     pW = jnp.roll(p, 1, 1)
     return cN * pN + cS * pS + cE * pE + cW * pW + cC * p + b
+
+
+def _overlapped_ksweeps(p_b, k, coeffs, exchange, n_sw=None):
+    """k sweeps + halo refresh, decomposed so the halo ppermutes OVERLAP
+    interior compute (the north-star requirement).
+
+    ``coeffs``: tuple of (h+2k, w+2k) padded static fields consumed by
+    _sweep5 (cN, cS, cE, cW, cC, b).  ``exchange``: closure producing the
+    (h+2k, w+2k) padded state (the collectives).  ``n_sw``: optional
+    traced sweep quota (sweeps past it freeze — the remainder-round
+    logic of the viscosity solver).
+
+    The CENTER region (out rows/cols [2k, h-2k)) needs only p_b's
+    interior — no data dependence on the exchanged halos, so XLA's
+    latency-hiding scheduler can run the ppermutes while it computes.
+    The 2k-deep FRAME recomputes from the padded block.  Identical
+    values to the monolithic version: every output cell sees exactly the
+    same stencil inputs (the frame/center split only re-partitions which
+    intermediate buffers they flow through).
+
+    Falls back to the monolithic order when the block is too small to
+    split (h or w < 4k)."""
+    h, w = p_b.shape
+
+    def run(block, csl, nsweeps):
+        for i in range(nsweeps):
+            nxt = _sweep5(block, *csl)
+            if n_sw is not None:
+                nxt = jnp.where(i < n_sw, nxt, block)
+            block = nxt
+        return block
+
+    def crop(r0, r1, c0, c1):
+        return tuple(c[r0:r1, c0:c1] for c in coeffs)
+
+    pp = exchange(p_b)  # ppermutes touch only p_b's edge slices
+
+    if h < 4 * k or w < 4 * k:
+        return run(pp, coeffs, k)[k:-k, k:-k]
+
+    # center: input block rows/cols [k, h-k) = pp[2k:h, 2k:w); after k
+    # sweeps the valid interior is out rows/cols [2k, h-2k)
+    center = run(p_b[k:h - k, k:w - k], crop(2 * k, h, 2 * k, w), k)
+    center = center[k:-k, k:-k]
+
+    # frame strips from the padded block (each keeps its k-shrunk core)
+    S = run(pp[0:4 * k, :], crop(0, 4 * k, 0, w + 2 * k), k)[k:3 * k, k:-k]
+    N = run(pp[h - 2 * k:h + 2 * k, :],
+            crop(h - 2 * k, h + 2 * k, 0, w + 2 * k), k)[k:3 * k, k:-k]
+    Wst = run(pp[2 * k:h, 0:4 * k], crop(2 * k, h, 0, 4 * k), k)[k:-k,
+                                                                k:3 * k]
+    E = run(pp[2 * k:h, w - 2 * k:w + 2 * k],
+            crop(2 * k, h, w - 2 * k, w + 2 * k), k)[k:-k, k:3 * k]
+
+    mid = jnp.concatenate([Wst, center, E], axis=1)
+    return jnp.concatenate([S, mid, N], axis=0)
 
 
 @partial(jax.jit, static_argnames=("grid", "mesh", "iters", "k"))
@@ -153,12 +273,14 @@ def pressure_solve_sharded(divw, terrain, grid: Grid, mesh: Mesh,
         bb = exchange_halo(b_b, k, grid, mesh)
 
         p = jnp.zeros_like(cN_b)
+        coeffs = (cN, cS, cE, cW, cC, bb)
 
         def round_fn(p, _):
-            pp = exchange_halo(p, k, grid, mesh)
-            for _ in range(k):
-                pp = _sweep5(pp, cN, cS, cE, cW, cC, bb)
-            return pp[k:-k, k:-k], None
+            # interior/boundary split: the center's k sweeps have no data
+            # dependence on this round's ppermutes (_overlapped_ksweeps)
+            p = _overlapped_ksweeps(
+                p, k, coeffs, lambda q: exchange_halo(q, k, grid, mesh))
+            return p, None
 
         p, _ = jax.lax.scan(round_fn, p, None, length=n_rounds)
         return p
@@ -187,18 +309,19 @@ def diffusion_solve_sharded(u, v, terrain, grid: Grid, mesh: Mesh,
         cW = exchange_halo(cW_b, k, grid, mesh)
         cC = exchange_halo(cC_b, k, grid, mesh)
         zb = jnp.zeros_like(cN)
+        coeffs = (cN, cS, cE, cW, cC, zb)
+
+        def exch(q):
+            return exchange_halo(q, k, grid, mesh, negate_pole=True)
 
         def round_fn(carry, n_sw):
+            # u and v relax independently (intent-mode rhs is per-
+            # component), each through the overlapped interior/boundary
+            # split; n_sw freezes sweeps past the round's quota exactly
             uu, vv = carry
-            up = exchange_halo(uu, k, grid, mesh, negate_pole=True)
-            vp = exchange_halo(vv, k, grid, mesh, negate_pole=True)
-            for i in range(k):
-                up2 = _sweep5(up, cN, cS, cE, cW, cC, zb)
-                vp2 = _sweep5(vp, cN, cS, cE, cW, cC, zb)
-                # exact sweep count: freeze once past this round's quota
-                up = jnp.where(i < n_sw, up2, up)
-                vp = jnp.where(i < n_sw, vp2, vp)
-            return (up[k:-k, k:-k], vp[k:-k, k:-k]), None
+            uu = _overlapped_ksweeps(uu, k, coeffs, exch, n_sw=n_sw)
+            vv = _overlapped_ksweeps(vv, k, coeffs, exch, n_sw=n_sw)
+            return (uu, vv), None
 
         sw_counts = jnp.concatenate([
             jnp.full((n_rounds - 1,), k, jnp.int32),

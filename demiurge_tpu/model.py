@@ -82,7 +82,7 @@ def coupled_step(state: CoupledState, grid: Grid,
     # climate
     T, ti = temperature.temperature_step(
         state.temperature, h, state.t_index, grid,
-        substeps=cfg.climate_substeps,
+        substeps=cfg.climate_substeps, mesh=mesh,
     )
 
     # ocean

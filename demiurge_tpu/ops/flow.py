@@ -634,9 +634,19 @@ def flow_filter_device(height, sel, grid: Grid, exponent: float = 0.5,
     area = cell_area_lower_edge(grid)
 
     if mesh is not None and grid.wrap_x:
-        from ..dist.halo import flow_solve_sharded
+        from ..dist.flowdist import (flow_sharded_twolevel_supported,
+                                     flow_solve_sharded_twolevel)
 
-        acc, vis = flow_solve_sharded(code, area, mouth, grid, mesh)
+        if flow_sharded_twolevel_supported(grid, mesh):
+            # two-level decomposition: a FIXED handful of collectives
+            # (all_to_all row regroup + boundary-row gathers) instead of
+            # one halo exchange per relaxation round (dist/flowdist.py)
+            acc, vis = flow_solve_sharded_twolevel(code, area, mouth,
+                                                   grid, mesh)
+        else:
+            from ..dist.halo import flow_solve_sharded
+
+            acc, vis = flow_solve_sharded(code, area, mouth, grid, mesh)
         return jnp.where(vis, jnp.power(acc, exponent), -1.0)
 
     from ..core.platform import single_core_pallas

@@ -202,7 +202,7 @@ def _advect_sample_fast(u, v, s2, t2, grid: Grid, Rx: int, Ry: int,
     return out[0], out[1]
 
 
-def advect(u, v, terrain, grid: Grid, cfg: OceanConfig):
+def advect(u, v, terrain, grid: Grid, cfg: OceanConfig, mesh=None):
     """Semi-Lagrangian advection + wind forcing (OceanCurrents.cpp:235-360).
 
     Transcendental-light formulation: the departure-point trig (lam/phi of
@@ -248,7 +248,16 @@ def advect(u, v, terrain, grid: Grid, cfg: OceanConfig):
     s2, t2 = grid.spheric_to_tex(lam2, phi2)
 
     use_fast = cfg.advect_method == "fast" and grid.wrap_x
-    if use_fast:
+    if use_fast and mesh is not None:
+        # amortized sharded tap loop: ONE halo exchange instead of one
+        # collective per tap (dist.advect); same taps/weights as the XLA
+        # fallback below — bitwise-equal sums
+        from ..dist.advect import advect_sample_sharded
+
+        nu, nv = advect_sample_sharded(u, v, s2, t2, grid, mesh,
+                                       Rx=cfg.tap_radius_x,
+                                       Ry=cfg.tap_radius_y)
+    elif use_fast:
         nu, nv = _advect_sample_fast(u, v, s2, t2, grid,
                                      cfg.tap_radius_x, cfg.tap_radius_y,
                                      cfg=cfg)
@@ -564,7 +573,7 @@ def ocean_step(u, v, terrain, grid: Grid, cfg: OceanConfig = OceanConfig(),
     ``mesh``: optional jax.sharding.Mesh('y','x') — the iterative solvers
     then run through the amortized explicit-halo path (dist.halo) instead
     of one GSPMD collective per sweep; the single-pass ops stay GSPMD."""
-    u, v = advect(u, v, terrain, grid, cfg)
+    u, v = advect(u, v, terrain, grid, cfg, mesh=mesh)
     u, v = diffusion(u, v, terrain, grid, cfg, mesh=mesh)
     div = divergence(u, v, terrain, grid, cfg)
     p = pressure_solve(div, terrain, grid, cfg, mesh=mesh)

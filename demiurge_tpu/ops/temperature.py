@@ -100,15 +100,27 @@ def _substep(T, terrain, M, grid: Grid, albedo: float, diffusivity: float):
     return T + change * YEAR_SECONDS / SUBSTEPS_PER_YEAR / C
 
 
-@partial(jax.jit, static_argnames=("grid", "substeps"))
+@partial(jax.jit, static_argnames=("grid", "substeps", "mesh"))
 def temperature_step(T, terrain, i0, grid: Grid, substeps: int = 10,
-                     albedo: float = 0.30, diffusivity: float = 0.55e6):
+                     albedo: float = 0.30, diffusivity: float = 0.55e6,
+                     mesh=None):
     """Advance the climate model by ``substeps`` substeps starting at substep
     index ``i0`` (mean anomaly M = 2 pi i / 15000 — Temperature.cpp:146).
 
-    Returns (T_new, i0 + substeps).
+    ``mesh``: optional Mesh('y','x') — runs all substeps per ONE row-halo
+    exchange in the full-width row layout (dist.climate) instead of
+    per-substep GSPMD collectives.  Returns (T_new, i0 + substeps).
     """
     from ..core.platform import single_core_pallas
+
+    if mesh is not None:
+        from ..dist.climate import (climate_sharded_supported,
+                                    climate_step_sharded)
+
+        if climate_sharded_supported(grid, mesh, substeps):
+            return climate_step_sharded(T, terrain, i0, grid, mesh,
+                                        substeps=substeps, albedo=albedo,
+                                        diffusivity=diffusivity)
 
     if single_core_pallas():
         from ..pallas_kernels.climate import (climate_step_pallas,

@@ -191,7 +191,10 @@ def _sweep_body(K, packed, area, a0, vis0, shrink_x: bool = False,
 
     def apply_sweep(A, vis):
         # 3 row slabs + shared lane rolls: 8 rolls per array per sweep
-        # (row r reads r+dy <=> roll by (-dy) % rows; col c reads c+dx)
+        # (row r reads r+dy <=> roll by (-dy) % rows; col c reads c+dx).
+        # The lane-first alternative (2 lane + 6 sublane rolls) measured
+        # slightly SLOWER (tools/flow_rollswap_race.py: 3.02 vs 2.96 ms)
+        # — Mosaic's lane rotates are not the bottleneck here.
         newA, newvis = A, vis
         if do_A:
             Aslab = {dy: pltpu.roll(A, (-dy) % rows, 0) if dy else A

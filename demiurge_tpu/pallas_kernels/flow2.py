@@ -179,6 +179,197 @@ def flow_local_solve(packed_local, area2d, a0, band: int,
     return outs, None
 
 
+@functools.partial(jax.jit, static_argnames=("band", "with_exit",
+                                             "max_sweeps"))
+def flow_local_solve_xla(packed_local, area2d, a0, band: int,
+                         with_exit: bool = True, max_sweeps: int = 1 << 20):
+    """XLA twin of :func:`flow_local_solve` (works on any backend,
+    including inside shard_map on the CPU test mesh).  All bands sweep
+    together on the (nbands, band, W) stack — converges in max-over-bands
+    local path length sweeps; band-circular rolls read garbage that the
+    pre-masked inc bits zero out, exactly like the kernel."""
+    H, W = packed_local.shape
+    nbands = H // band
+    p3 = packed_local.reshape(nbands, band, W)
+    area3 = area2d.reshape(nbands, band, W)
+    inc = [((p3 >> i) & 1).astype(jnp.float32) for i in range(8)]
+    if with_exit:
+        outm = [((p3 >> (8 + i)) & 1).astype(jnp.float32) for i in range(8)]
+        row_l = jnp.arange(band).reshape(1, -1, 1)
+        col = jnp.arange(W).reshape(1, 1, -1)
+        dn = outm[_DY_POS[0]] + outm[_DY_POS[1]] + outm[_DY_POS[2]]
+        up = outm[_DY_NEG[0]] + outm[_DY_NEG[1]] + outm[_DY_NEG[2]]
+        crossing = (jnp.where(row_l == 0, up, 0.0)
+                    + jnp.where(row_l == band - 1, dn, 0.0))
+        selfid = jnp.broadcast_to(
+            jnp.where(row_l == 0, col, W + col).astype(jnp.float32),
+            (nbands, band, W))
+        e0 = jnp.where(crossing > 0, selfid, -1.0)
+    else:
+        e0 = jnp.zeros((1, 1, 1), jnp.float32)
+
+    def apply_sweep(A, E):
+        newA = area3
+        newE = jnp.zeros_like(E) if with_exit else E
+        for i, (dx, dy) in enumerate(_SCAN_ORDER):
+            Ad = jnp.roll(jnp.roll(A, -dy, 1), -dx, 2) if dx \
+                else jnp.roll(A, -dy, 1)
+            newA = newA + inc[i] * Ad
+            if with_exit:
+                Ed = jnp.roll(jnp.roll(E, -dy, 1), -dx, 2) if dx \
+                    else jnp.roll(E, -dy, 1)
+                newE = newE + outm[i] * (Ed + 1.0)
+        if with_exit:
+            newE = jnp.where(crossing > 0, selfid, newE - 1.0)
+        return newA, newE
+
+    # carry (prev, cur) rather than a boolean `done`: a constant-False
+    # initial carry would be axis-unvarying inside shard_map while the
+    # computed flag is varying (vma mismatch); comparing prev/cur keeps
+    # every carried value derived from the inputs
+    def body(carry):
+        Ap, A, Ep, E, s = carry
+        A1, E1 = apply_sweep(A, E)
+        return A, A1, E, E1, s + 1
+
+    def cond(carry):
+        Ap, A, Ep, E, s = carry
+        changed = jnp.any(A != Ap)
+        if with_exit:
+            changed = changed | jnp.any(E != Ep)
+        return ((s < 1) | changed) & (s < max_sweeps)
+
+    a03 = a0.reshape(nbands, band, W)
+    _, A, _, E, _ = jax.lax.while_loop(
+        cond, body, (a03, a03, e0, e0, jnp.int32(0)))
+    if with_exit:
+        return A.reshape(H, W), E.reshape(H, W)
+    return A.reshape(H, W), None
+
+
+@functools.partial(jax.jit, static_argnames=("band", "max_sweeps"))
+def flow_local_vis_xla(packed_local, seed, band: int,
+                       max_sweeps: int = 1 << 20):
+    """Band-local mouth-reachability relaxation (XLA): vis propagates
+    upstream (each cell ORs its downstream target's vis); crossing cells
+    never read across the band boundary — their continuation is resolved
+    by the coarse chain and re-enters through ``seed`` (phase 3).  Returns
+    float 0/1."""
+    H, W = packed_local.shape
+    nbands = H // band
+    p3 = packed_local.reshape(nbands, band, W)
+    outm = [((p3 >> (8 + i)) & 1).astype(jnp.float32) for i in range(8)]
+    mouthf = ((p3 >> 16) & 1).astype(jnp.float32)
+    row_l = jnp.arange(band).reshape(1, -1, 1)
+    dn = outm[_DY_POS[0]] + outm[_DY_POS[1]] + outm[_DY_POS[2]]
+    up = outm[_DY_NEG[0]] + outm[_DY_NEG[1]] + outm[_DY_NEG[2]]
+    crossing = (jnp.where(row_l == 0, up, 0.0)
+                + jnp.where(row_l == band - 1, dn, 0.0))
+    seedm = jnp.maximum(mouthf, seed.reshape(nbands, band, W))
+
+    # (prev, cur) carry — see flow_local_solve_xla for the shard_map
+    # varying-axes rationale
+    def body(carry):
+        visp, vis, s = carry
+        new = seedm
+        for i, (dx, dy) in enumerate(_SCAN_ORDER):
+            vd = jnp.roll(jnp.roll(vis, -dy, 1), -dx, 2) if dx \
+                else jnp.roll(vis, -dy, 1)
+            new = jnp.maximum(new, outm[i] * vd)
+        new = jnp.where(crossing > 0, seedm, new)
+        return vis, new, s + 1
+
+    def cond(carry):
+        visp, vis, s = carry
+        return ((s < 1) | jnp.any(vis != visp)) & (s < max_sweeps)
+
+    _, vis, _ = jax.lax.while_loop(
+        cond, body, (seedm, seedm, jnp.int32(0)))
+    return vis.reshape(H, W)
+
+
+def _local_vis_kernel(band, W, max_sweeps, pref, seedref, vout):
+    """Pallas twin of flow_local_vis_xla for one band."""
+    packed = pref[...]
+    outm = [((packed >> (8 + i)) & 1).astype(jnp.float32) for i in range(8)]
+    mouthf = ((packed >> 16) & 1).astype(jnp.float32)
+    row_l = jax.lax.broadcasted_iota(jnp.int32, (band, W), 0)
+    dn = outm[_DY_POS[0]] + outm[_DY_POS[1]] + outm[_DY_POS[2]]
+    up = outm[_DY_NEG[0]] + outm[_DY_NEG[1]] + outm[_DY_NEG[2]]
+    crossing = (jnp.where(row_l == 0, up, 0.0)
+                + jnp.where(row_l == band - 1, dn, 0.0))
+    seedm = jnp.maximum(mouthf, seedref[...])
+
+    def apply_sweep(vis):
+        cols = {1: pltpu.roll(vis, W - 1, 1), 0: vis,
+                -1: pltpu.roll(vis, 1, 1)}
+        new = seedm
+        for i, (dx, dy) in enumerate(_SCAN_ORDER):
+            vd = cols[dx]
+            if dy:
+                vd = pltpu.roll(vd, (-dy) % band, 0)
+            new = jnp.maximum(new, outm[i] * vd)
+        return jnp.where(crossing > 0, seedm, new)
+
+    def sweep2(carry):
+        vis, s, _ = carry
+        v1 = apply_sweep(vis)
+        v2 = apply_sweep(v1)
+        return v2, s + 2, jnp.all(v2 == v1)
+
+    def cond(carry):
+        _, s, done = carry
+        return jnp.logical_not(done) & (s < max_sweeps)
+
+    vis, _, _ = jax.lax.while_loop(
+        cond, sweep2, (seedm, jnp.int32(0), jnp.asarray(False)))
+    vout[...] = vis
+
+
+@functools.partial(jax.jit, static_argnames=("band", "max_sweeps",
+                                             "interpret"))
+def flow_local_vis(packed_local, seed, band: int, max_sweeps: int = 1 << 20,
+                   interpret: bool = False):
+    """Band-local reachability relaxation, Pallas (see flow_local_vis_xla
+    for semantics)."""
+    H, W = packed_local.shape
+    nbands = H // band
+    blk = pl.BlockSpec((band, W), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_local_vis_kernel, band, W, max_sweeps),
+        grid=(nbands,),
+        in_specs=[blk, blk],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(packed_local, seed)
+
+
+def _or_chain_adaptive(succ, n0, max_rounds: int = 48):
+    """suffix-OR along the functional graph: out[s] = OR of n0 over
+    {s, succ(s), succ^2(s), ...} (stops at -1), by pointer doubling."""
+    has = succ >= 0
+    ptr = jnp.where(has, succ, 0)
+
+    def cond(carry):
+        _, _, alive, r = carry
+        return jnp.any(alive) & (r < max_rounds)
+
+    def body(carry):
+        X, ptr, alive, r = carry
+        X = jnp.where(alive, jnp.maximum(X, X[ptr]), X)
+        nxt = alive & alive[ptr]
+        ptr = jnp.where(nxt, ptr[ptr], ptr)
+        return X, ptr, nxt, r + 1
+
+    X, _, _, _ = jax.lax.while_loop(
+        cond, body, (n0, ptr, has, jnp.int32(0)))
+    return X
+
+
 def _accumulate_adaptive(parent, m0, max_rounds: int = 48):
     """X[s] = m0[s] + sum of m0 over all chain predecessors of s in the
     functional graph `parent` (-1 = chain end), by adaptive pointer
@@ -215,18 +406,30 @@ def coarse_rows(x, band: int):
 
 
 def coarse_graph(packed, A_loc, E, band: int):
-    """Build the contracted inter-band drainage graph from phase-1 output.
-
-    Returns (succ, m0, tgt_flat, cross_flat) over the flattened
-    (2*nbands*W,) coarse layout: succ = next crossing edge id (-1 = chain
-    end), m0 = band-local mass at the crossing source, tgt_flat = the
-    GLOBAL flattened grid index the mass is delivered at, cross_flat =
-    which coarse cells are crossing sources."""
-    H, W = packed.shape
-    nbands = H // band
+    """Build the contracted inter-band drainage graph from phase-1 output
+    (full-grid arrays; see coarse_graph_rows for the core)."""
     pc = coarse_rows(packed, band)
     Ac = coarse_rows(A_loc, band)
-    Ec = coarse_rows(E, band).astype(jnp.int32)
+    Ec = coarse_rows(E, band)
+    return coarse_graph_rows(pc, Ac, Ec, band)
+
+
+def coarse_graph_rows(pc, Ac, Ec, band: int):
+    """Contracted inter-band drainage graph from stacked coarse boundary
+    rows (2*nbands, W): pc = packed masks, Ac = band-local A, Ec = local
+    exit ids.
+
+    Returns (succ, m0, tflat_c, tflat_g, srcflat_g, cross_flat) over the
+    flattened (2*nbands*W,) coarse layout: succ = next crossing edge id
+    (-1 = chain end), m0 = band-local mass at the crossing source,
+    tflat_c / tflat_g = the coarse / GLOBAL flattened index the mass is
+    delivered at, srcflat_g = the crossing source cell's own global index
+    (for scattering resolved reachability seeds), cross_flat = which
+    coarse cells are crossing sources."""
+    nbands2, W = pc.shape
+    nbands = nbands2 // 2
+    H = nbands * band
+    Ec = Ec.astype(jnp.int32)
 
     rows2 = jnp.arange(2 * nbands).reshape(-1, 1)
     is_first = rows2 % 2 == 0
@@ -261,8 +464,12 @@ def coarse_graph(packed, A_loc, E, band: int):
     trow_g = jnp.where(cross_dn, (b_idx + 1) * band, b_idx * band - 1)
     tflat_g = jnp.where(cross, trow_g * W + tcol, H * W)  # H*W = drop
 
-    return (succ.reshape(-1), m0.reshape(-1), tflat_g.reshape(-1),
-            cross.reshape(-1))
+    srow_g = jnp.where(is_first, b_idx * band, (b_idx + 1) * band - 1)
+    srcflat_g = jnp.where(cross, srow_g * W + col, H * W)
+    srcflat_g = jnp.broadcast_to(srcflat_g, cross.shape)
+
+    return (succ.reshape(-1), m0.reshape(-1), tflat_c.reshape(-1),
+            tflat_g.reshape(-1), srcflat_g.reshape(-1), cross.reshape(-1))
 
 
 def flow_twolevel_supported(grid: Grid, band: int = 0) -> bool:
@@ -289,7 +496,7 @@ def flow_solve_twolevel(code, area2d, mouth, grid: Grid, band: int = 0,
     if nbands == 1:
         return A_loc
 
-    succ, m0, tflat_g, cross = coarse_graph(packed, A_loc, E, band)
+    succ, m0, _, tflat_g, _, cross = coarse_graph(packed, A_loc, E, band)
     X = _accumulate_adaptive(succ, m0)
     inj = jnp.zeros((H * W,), jnp.float32).at[tflat_g].add(
         jnp.where(cross, X, 0.0), mode="drop").reshape(H, W)
