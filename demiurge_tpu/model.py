@@ -52,6 +52,11 @@ class CoupledState:
     v: jax.Array            # ocean velocity north
     temperature: jax.Array  # surface temperature (C)
     t_index: jax.Array      # climate substep counter (scalar f32)
+    # previous step's flow-accumulation fixpoint, carried as a warm start
+    # for the relaxation (unique fixpoint -> identical results, faster
+    # convergence: only changed cells' downstream traces stay active).
+    # zeros = cold start (one extra sweep vs seeding with cell areas).
+    flow_acc: jax.Array = None
 
 
 def init_coupled(height, grid: Grid, cfg: CoupledConfig = CoupledConfig()):
@@ -66,6 +71,7 @@ def init_coupled(height, grid: Grid, cfg: CoupledConfig = CoupledConfig()):
         v=v,
         temperature=T,
         t_index=jnp.float32(0.0),
+        flow_acc=jnp.zeros(grid.shape, jnp.float32),
     )
 
 
@@ -89,14 +95,16 @@ def coupled_step(state: CoupledState, grid: Grid,
     u, v, _, _ = ocean.ocean_step(state.u, state.v, h, grid, cfg.ocean,
                                   mesh=mesh)
 
-    # erosion (device-only flow path)
-    fm = flow.flow_filter_device(h, state.sel, grid,
-                                 exponent=cfg.flow_exponent,
-                                 preblur=cfg.flow_preblur, mesh=mesh)
+    # erosion (device-only flow path), warm-started from the previous
+    # step's accumulation fixpoint
+    fm, acc = flow.flow_filter_device(h, state.sel, grid,
+                                      exponent=cfg.flow_exponent,
+                                      preblur=cfg.flow_preblur, mesh=mesh,
+                                      acc0=state.flow_acc, return_acc=True)
     h = erosion.erosion_pass(h, fm, state.uplift, grid,
                              cfg.erosion_factor, cfg.erosion_slope_exponent)
 
     return CoupledState(
         height=h, uplift=state.uplift, sel=state.sel,
-        u=u, v=v, temperature=T, t_index=ti,
+        u=u, v=v, temperature=T, t_index=ti, flow_acc=acc,
     )

@@ -616,9 +616,11 @@ def solve_lakes_numpy(mask, mouth, height, parent, grid: Grid) -> LakeSolution:
     return LakeSolution(conn_from, conn_to, conn_h, lake_wh)
 
 
-@partial(jax.jit, static_argnames=("grid", "exponent", "preblur", "mesh"))
+@partial(jax.jit, static_argnames=("grid", "exponent", "preblur", "mesh",
+                                   "return_acc"))
 def flow_filter_device(height, sel, grid: Grid, exponent: float = 0.5,
-                       preblur: float = 0.5, mesh=None):
+                       preblur: float = 0.5, mesh=None, acc0=None,
+                       return_acc: bool = False):
     """Fully-jittable flow accumulation without the host lake-merge stage.
 
     Identical to :func:`flow_filter` with ``lakes=False`` except that
@@ -627,6 +629,12 @@ def flow_filter_device(height, sel, grid: Grid, exponent: float = 0.5,
     inside fused/distributed step functions where a host round-trip is not
     acceptable; the full filter with lake solving remains available for the
     editing API.
+
+    ``acc0``: optional warm start for the accumulation relaxation (the
+    previous step's fixpoint — see flow_solve_pallas); the fixpoint is
+    unique so the result is unchanged, only convergence is faster.
+    ``return_acc=True`` additionally returns the raw accumulation for
+    carrying across steps.
     """
     hb = blur(height, grid, preblur)
     code = flow_directions(hb, sel, grid)
@@ -647,7 +655,8 @@ def flow_filter_device(height, sel, grid: Grid, exponent: float = 0.5,
             from ..dist.halo import flow_solve_sharded
 
             acc, vis = flow_solve_sharded(code, area, mouth, grid, mesh)
-        return jnp.where(vis, jnp.power(acc, exponent), -1.0)
+        out = jnp.where(vis, jnp.power(acc, exponent), -1.0)
+        return (out, acc) if return_acc else out
 
     from ..core.platform import single_core_pallas
 
@@ -671,16 +680,18 @@ def flow_filter_device(height, sel, grid: Grid, exponent: float = 0.5,
             H = grid.height
             acc, _ = flow_solve_pallas(code, area, mouth, grid, k=8,
                                        band=64 if H % 64 == 0 else 0,
-                                       mode="A")
+                                       mode="A", a0=acc0)
             if vis_bits_supported(grid):
                 vis = vis_solve_bits(code, mouth, grid)
             else:
                 _, vis = flow_solve_pallas(code, area, mouth, grid, k=8,
                                            mode="vis")
-            return jnp.where(vis, jnp.power(acc, exponent), -1.0)
+            out = jnp.where(vis, jnp.power(acc, exponent), -1.0)
+            return (out, acc) if return_acc else out
 
     acc, vis, _ = flow_solve_stencil(code, area, mouth, grid)
-    return jnp.where(vis, jnp.power(acc, exponent), -1.0)
+    out = jnp.where(vis, jnp.power(acc, exponent), -1.0)
+    return (out, acc) if return_acc else out
 
 
 def default_lake_solver():

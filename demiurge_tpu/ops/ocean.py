@@ -89,8 +89,13 @@ class OceanConfig:
     # pressure Poisson solver backend: 'xla' = one 5-point sweep per HBM
     # round trip (reference-exact order), 'pallas' = fused K-sweep VMEM
     # bands (pallas_kernels.jacobi, same fixpoint, f32 reassociation-level
-    # differences), 'auto' = pallas on TPU when the grid is band-divisible.
+    # differences), 'auto' = pallas on TPU when the grid is band-divisible,
+    # 'cg' = performance mode: spectrally-preconditioned conjugate
+    # gradient (ops.pressure_cg) — converges across config-5 basins where
+    # no affordable Jacobi sweep count can (SURVEY §7 hard parts #5).
     pressure_method: str = "auto"
+    cg_iters: int = 200
+    cg_rtol: float = 1e-4
 
 
 # ---------------------------------------------------------------------------
@@ -455,6 +460,11 @@ def pressure_solve(divw, terrain, grid: Grid, cfg: OceanConfig,
     ``mesh``, routes to the amortized halo-exchange solver
     (dist.halo.pressure_solve_sharded).
     """
+    if cfg.pressure_method == "cg" and mesh is None:
+        from .pressure_cg import pressure_solve_cg
+
+        return pressure_solve_cg(divw, terrain, grid, iters=cfg.cg_iters,
+                                 rtol=cfg.cg_rtol, p0=p0)
     if mesh is not None and grid.wrap_x and p0 is None:
         from ..dist.halo import pressure_solve_sharded
 

@@ -849,13 +849,23 @@ def flow_solve_2d_supported(grid: Grid, k: int = 16) -> bool:
                                              "interpret"))
 def flow_solve_pallas(code, area2d, mouth, grid: Grid, k: int = 16,
                       band: int = 0, max_iters: int = 1 << 20,
-                      mode: str = "both", interpret: bool = False):
+                      mode: str = "both", interpret: bool = False,
+                      a0=None):
     """Drop-in for ops.flow.flow_solve_stencil (no lake connections, no
     root tracking — the jittable hot path).  Returns (A, vis bool).
 
     ``mode='A'``/``'vis'`` solve one half only (see _kernel); the other
     half passes through unchanged (vis stays the mouth seed / A stays
-    area)."""
+    area).
+
+    ``a0``: optional warm start for A (e.g. the previous coupled step's
+    fixpoint).  Valid from ANY initial state: the relaxation matrix is
+    nilpotent (D8 flow is acyclic — strictly decreasing height), so
+    A_k = sum_{j<k} M^j area + M^k a0 reaches the unique fixpoint once k
+    exceeds the longest REMAINING path through any cell where a0 differs
+    from it; when few directions changed since a0 was computed, only the
+    downstream traces of the changed cells stay active and the band
+    flags/early exits skip the rest."""
     H, W = grid.shape
     band = band or _pick_band(H)
     assert band > 0 and H % band == 0 and grid.wrap_x, (grid.shape, band)
@@ -865,7 +875,7 @@ def flow_solve_pallas(code, area2d, mouth, grid: Grid, k: int = 16,
     packed = pack_masks(code, mouth, grid)
     ppad = _pad_zero_rows(packed, k)
     areapad = _pad_zero_rows(area2d, k)
-    apad0 = _pad_zero_rows(area2d, k)
+    apad0 = _pad_zero_rows(area2d if a0 is None else a0, k)
     vpad0 = _pad_zero_rows(jnp.where(mouth, 1.0, 0.0), k)
     flags0 = jnp.ones((nbands,), jnp.int32)
 

@@ -153,6 +153,15 @@ def save_sharded(dir_path: str, state, step: int, grid=None) -> None:
                 os.unlink(tmp)
             raise
 
+    if jax.process_count() > 1:
+        # do not return before the manifest is durable: a process that
+        # immediately re-opens the checkpoint (resume-after-save) must
+        # never race process 0's manifest write (found by
+        # tools/multiprocess_test.py in the round-5 two-process run)
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("demiurge_tpu-ckpt-manifest")
+
 
 def load_sharded(dir_path: str, state_cls, sharding=None):
     """Load a sharded checkpoint; returns (state, step).
