@@ -155,7 +155,9 @@ def main(argv=None):
             for i in range(args.steps):
                 u, v, p, d = ocean.ocean_step(u, v, h, grid, cfg)
                 logger.log(i, div_norm=M.divergence_norm(u, v, h, grid, cfg),
-                           vmax=jnp.sqrt(u * u + v * v).max())
+                           vmax=jnp.sqrt(u * u + v * v).max(),
+                           advect_clamped=ocean.advect_clamped_fraction(
+                               u, v, h, grid, cfg))
             _finish(args, grid, h, logger)
 
         elif args.cmd == "climate":
@@ -203,7 +205,10 @@ def main(argv=None):
             for i in range(start, args.steps):
                 state = coupled_step(state, grid, cfg)
                 logger.log(i, mass=M.mass(state.height, grid),
-                           mean_T=M.mean_temperature(state.temperature, grid))
+                           mean_T=M.mean_temperature(state.temperature, grid),
+                           advect_clamped=ocean.advect_clamped_fraction(
+                               state.u, state.v, state.height, grid,
+                               cfg.ocean))
                 if args.checkpoint and (i + 1) % args.checkpoint_every == 0:
                     ckpt.save(args.checkpoint, state, i + 1, grid)
             if args.checkpoint:

@@ -82,10 +82,11 @@ class OceanConfig:
     # of the TPU tiered sampler (pallas_kernels.advect.strip_radii): the
     # x backtrace stretches as 1/cos(phi), so mid-latitude strips tap
     # narrow (Rx=2) while polar strips tap wide (up to 256 columns) —
-    # both faster than one global radius AND exact at wind-driven speeds
-    # (equilibrium |v| under the reference forcing is ~0.2; the cap can
-    # only bind in the 1-2 outermost polar rows)
-    vmax_hint: float = 1.0
+    # both faster than one global radius AND exact at wind-driven speeds.
+    # None (default) = derive from the wind forcing's drag equilibrium
+    # (vmax_from_wind); a StepLogger diagnostic (advect_clamped_fraction)
+    # counts pixels the cap would distort
+    vmax_hint: Optional[float] = None
     # pressure Poisson solver backend: 'xla' = one 5-point sweep per HBM
     # round trip (reference-exact order), 'pallas' = fused K-sweep VMEM
     # bands (pallas_kernels.jacobi, same fixpoint, f32 reassociation-level
@@ -151,6 +152,35 @@ def wind_profile(grid: Grid):
     return wx, wy
 
 
+def vmax_from_wind(timestep: float = 24.0, dissipation: float = 1.0,
+                   safety: float = 1.5) -> float:
+    """Static bound on |v| from the wind forcing's drag equilibrium.
+
+    Iterates the per-step scalar update v <- D*v + w*(1 - s^(-2/24)) -
+    v*drag at the profile's peak |w| = 10*sqrt(2)
+    (OceanCurrents.cpp:341-348) to its fixpoint and applies a safety
+    factor for transient/advective overshoot.  The scalar model is itself
+    conservative (it assumes the peak wind fully aligned): the measured
+    equilibrium max |v| at an evolved 512x256 state is 0.184 while this
+    returns 0.86, and the clamped-pixel diagnostic reads zero there
+    (tests/test_advect_fast.py).  Replaces the untested constant hint
+    flagged by the round-4 review."""
+    w = 10.0 * math.sqrt(2.0)
+    drag = 1.0 - 0.4 ** (1.0 / 24.0)
+    v = 0.0
+    for _ in range(500):
+        s = 1.0 + 1e-4 * (w - v) ** 2
+        v = dissipation * v
+        v = v + w * (1.0 - s ** (-2.0 / 24.0)) - v * drag
+    return max(safety * v, 0.25)
+
+
+def resolved_vmax(cfg: OceanConfig) -> float:
+    if cfg.vmax_hint is not None:
+        return cfg.vmax_hint
+    return vmax_from_wind(cfg.timestep, cfg.dissipation)
+
+
 def _advect_sample_fast(u, v, s2, t2, grid: Grid, Rx: int, Ry: int,
                         cfg: Optional[OceanConfig] = None):
     """Bilinear fetch of (u, v) at backtraced coords without a gather.
@@ -181,7 +211,7 @@ def _advect_sample_fast(u, v, s2, t2, grid: Grid, Rx: int, Ry: int,
         from ..pallas_kernels.advect import (advect_sample_tiered,
                                              strip_radii)
 
-        vmax = cfg.vmax_hint if cfg is not None else 1.0
+        vmax = resolved_vmax(cfg) if cfg is not None else 1.0
         ts = cfg.timestep if cfg is not None else 24.0
         radii = strip_radii(grid, vmax, ts)
         import numpy as np
@@ -207,16 +237,11 @@ def _advect_sample_fast(u, v, s2, t2, grid: Grid, Rx: int, Ry: int,
     return out[0], out[1]
 
 
-def advect(u, v, terrain, grid: Grid, cfg: OceanConfig, mesh=None):
-    """Semi-Lagrangian advection + wind forcing (OceanCurrents.cpp:235-360).
-
-    Transcendental-light formulation: the departure-point trig (lam/phi of
-    every pixel) is computed on the 1D row/column axes and broadcast; the
-    landing point's tangent basis is derived algebraically from the rotated
-    Cartesian point q (cos(phi2) = hypot(qx, qy), east = (-qy, qx, 0)/...),
-    so only atan2/asin for the sample coords and sin/cos of the arclength
-    remain per-pixel.  Algebraically identical to evaluating the basis at
-    (lam2, phi2)."""
+def _departure(u, v, grid: Grid, cfg: OceanConfig):
+    """Great-circle backtrace of every pixel (OceanCurrents.cpp:235-260):
+    sample coords (s2, t2), rotated point q, rotation axis, arclength,
+    and the departure tangent basis.  Shared by advect and the
+    cap-clamp diagnostic."""
     lam1d, phi1d = grid.lam_phi()      # (1,W), (H,1)
     sin_lam = jnp.sin(lam1d)
     cos_lam = jnp.cos(lam1d)
@@ -251,6 +276,51 @@ def advect(u, v, terrain, grid: Grid, cfg: OceanConfig, mesh=None):
     lam2 = jnp.arctan2(qy, qx)
     phi2 = jnp.arcsin(jnp.clip(qz, -1.0, 1.0))
     s2, t2 = grid.spheric_to_tex(lam2, phi2)
+    return (s2, t2, qx, qy, qz, ax, ay, az, arclength,
+            ex, ey, nx, ny, nz)
+
+
+@partial(jax.jit, static_argnames=("grid", "cfg"))
+def advect_clamped_fraction(u, v, terrain, grid: Grid, cfg: OceanConfig):
+    """Fraction of ocean pixels whose backtraced displacement exceeds the
+    tiered tap radii — i.e. pixels the fast sampler's CFL-style cap would
+    distort.  Logged per step by the CLI (StepLogger 'advect_clamped');
+    nonzero values mean vmax_hint/the derived bound is too small for the
+    flow regime."""
+    from ..pallas_kernels.advect import strip_radii
+
+    H, W = grid.shape
+    out = _departure(u, v, grid, cfg)
+    s2, t2 = out[0], out[1]
+    c = jnp.arange(W, dtype=jnp.float32).reshape(1, -1)
+    r = jnp.arange(H, dtype=jnp.float32).reshape(-1, 1)
+    dx = s2 * W - 0.5 - c
+    dx = jnp.mod(dx + W / 2.0, float(W)) - W / 2.0   # shortest wrap
+    dy = t2 * H - 0.5 - r
+    radii = strip_radii(grid, resolved_vmax(cfg), cfg.timestep)
+    import numpy as np
+
+    strip = H // len(radii)
+    rxrow = jnp.asarray(np.repeat(np.asarray(radii, np.float32), strip)
+                        ).reshape(-1, 1)
+    clamped = (jnp.abs(dx) > rxrow) | (jnp.abs(dy) > cfg.tap_radius_y)
+    water = terrain <= 0
+    return jnp.sum(jnp.where(water & clamped, 1.0, 0.0)) \
+        / jnp.maximum(jnp.sum(jnp.where(water, 1.0, 0.0)), 1.0)
+
+
+def advect(u, v, terrain, grid: Grid, cfg: OceanConfig, mesh=None):
+    """Semi-Lagrangian advection + wind forcing (OceanCurrents.cpp:235-360).
+
+    Transcendental-light formulation: the departure-point trig (lam/phi of
+    every pixel) is computed on the 1D row/column axes and broadcast; the
+    landing point's tangent basis is derived algebraically from the rotated
+    Cartesian point q (cos(phi2) = hypot(qx, qy), east = (-qy, qx, 0)/...),
+    so only atan2/asin for the sample coords and sin/cos of the arclength
+    remain per-pixel.  Algebraically identical to evaluating the basis at
+    (lam2, phi2)."""
+    (s2, t2, qx, qy, qz, ax, ay, az, arclength,
+     ex, ey, nx, ny, nz) = _departure(u, v, grid, cfg)
 
     use_fast = cfg.advect_method == "fast" and grid.wrap_x
     if use_fast and mesh is not None:

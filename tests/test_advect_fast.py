@@ -1,6 +1,7 @@
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from demiurge_tpu.core.grid import Grid
@@ -61,3 +62,37 @@ def test_fast_advect_small_grid():
     rows = _row_mask_within_cap(g, 1.0, 8)
     d = np.abs(np.asarray(eu) - np.asarray(fu))[rows][:, 2:-2]
     assert d.max() < 1e-5, d.max()
+
+
+def test_advect_cap_zero_clamped_at_evolved_equilibrium():
+    """Round-5 brief #7: drive the ocean to its wind/drag equilibrium at
+    512x256 under the reference forcing (|w| = 10) and assert the tiered
+    sampler's cap never binds — with the DERIVED vmax bound (default) and
+    with the old constant hint."""
+    import dataclasses
+
+    from demiurge_tpu.ops import ocean as oc
+
+    g = Grid(512, 256)
+    h = fbm(g, NoiseParams(mode="default", octaves=5, scale=2.0,
+                           min=-2.0, max=3.0, seed=7))
+    cfg = oc.OceanConfig(jacobi_iters=20, diffusion_iters=5)
+    u, v = oc.init_ocean(g)
+    step = jax.jit(lambda u_, v_: oc.ocean_step(u_, v_, h, g, cfg)[:2])
+    for _ in range(35):   # drag equilibrates in ~27 steps
+        u, v = step(u, v)
+    vmax = float(jnp.max(jnp.sqrt(u * u + v * v)))
+    assert vmax < oc.vmax_from_wind(), vmax   # the derived bound holds
+    for hint in (None, 1.0):
+        c = dataclasses.replace(cfg, vmax_hint=hint)
+        frac = float(oc.advect_clamped_fraction(u, v, h, g, c))
+        assert frac == 0.0, (hint, frac)
+
+
+def test_vmax_from_wind_value():
+    """The derived bound must dominate the measured equilibrium (~0.19)
+    with real margin but stay below the old untested hint's cost."""
+    from demiurge_tpu.ops.ocean import vmax_from_wind
+
+    v = vmax_from_wind()
+    assert 0.4 < v <= 1.0, v
