@@ -121,6 +121,18 @@ def blur13_pass(field, grid: Grid, direction, *, stretch_x: bool = True):
 @partial(jax.jit, static_argnames=("grid", "radius"))
 def blur(field, grid: Grid, radius: float):
     """Full separable spherical Gaussian blur of the given radius (pixels)."""
+    from ..core.platform import single_core_pallas
+
+    if single_core_pallas():
+        from ..pallas_kernels.blur import (blur_pallas,
+                                           blur_resident_supported)
+
+        if blur_resident_supported(grid, radius):
+            # all iterations fused on VMEM-resident bands (the radius-0.5
+            # flow pre-blur regime); same taps/weights, f32 reassociation
+            # only (~3e-7 relative)
+            return blur_pallas(field, grid, radius)
+
     rlist = sigma_list(radius)
     for r in rlist:
         field = blur13_pass(field, grid, (0.0, r))   # vertical first

@@ -103,9 +103,16 @@ def _kernel(K, band, nbands, mode, flags_ref, ppad, areapad, apad, vpad,
     do_A = mode in ("both", "A")
     do_v = mode in ("both", "vis")
     b = pl.program_id(0)
+    # flags are 3-bit: bit0 = changed anywhere (the band itself must keep
+    # relaxing), bit1 = changed within K rows of its LOW boundary (can
+    # reach band b-1 next round), bit2 = within K of its HIGH boundary.
+    # A neighbor is woken only by the edge bit facing it — change deeper
+    # than K rows from the shared boundary cannot cross in one round.
     left = flags_ref[jnp.maximum(b - 1, 0)]
     right = flags_ref[jnp.minimum(b + 1, nbands - 1)]
-    active = (flags_ref[b] | left | right) != 0
+    active = (((flags_ref[b] & 1) != 0)
+              | ((jnp.where(b > 0, left >> 2, 0) & 1) != 0)
+              | ((jnp.where(b < nbands - 1, right >> 1, 0) & 1) != 0))
 
     @pl.when(active)
     def _run():
@@ -128,11 +135,15 @@ def _kernel(K, band, nbands, mode, flags_ref, ppad, areapad, apad, vpad,
         # but the read is fragile against future edits to the sweep logic)
         vis0 = vvm[...] if do_v else jnp.zeros_like(avm)
         A, vis = _sweep_body(K, pvm[...], arvm[...], a0, vis0, mode=mode)
-        changed = jnp.asarray(False)
+        ch = jnp.zeros(a0.shape, bool)
         if do_A:
-            changed = changed | jnp.any(A[K:-K, :] != a0[K:-K, :])
+            ch = ch | (A != a0)
         if do_v:
-            changed = changed | jnp.any(vis[K:-K, :] != vis0[K:-K, :])
+            ch = ch | (vis != vis0)
+        ch = ch[K:-K, :]
+        changed = jnp.any(ch)
+        edge_lo = jnp.any(ch[:K, :])
+        edge_hi = jnp.any(ch[-K:, :])
         avm[...] = A
         if do_v:
             vvm[...] = vis
@@ -147,7 +158,9 @@ def _kernel(K, band, nbands, mode, flags_ref, ppad, areapad, apad, vpad,
             cp.start()
         for cp in wcopies:
             cp.wait()
-        chg_ref[b] = changed.astype(jnp.int32)
+        chg_ref[b] = (changed.astype(jnp.int32)
+                      | (edge_lo.astype(jnp.int32) << 1)
+                      | (edge_hi.astype(jnp.int32) << 2))
 
     @pl.when(jnp.logical_not(active))
     def _skip():
@@ -880,7 +893,7 @@ def flow_solve_pallas(code, area2d, mouth, grid: Grid, k: int = 16,
     areapad = _pad_zero_rows(area2d, k)
     apad0 = _pad_zero_rows(area2d if a0 is None else a0, k)
     vpad0 = _pad_zero_rows(jnp.where(mouth, 1.0, 0.0), k)
-    flags0 = jnp.ones((nbands,), jnp.int32)
+    flags0 = jnp.full((nbands,), 7, jnp.int32)
 
     fshape = jax.ShapeDtypeStruct((H + 2 * k, W), jnp.float32)
     call = pl.pallas_call(

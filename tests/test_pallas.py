@@ -284,3 +284,25 @@ def test_flow_wave_interpret_matches_stencil():
     np.testing.assert_allclose(np.asarray(A0), np.asarray(A1),
                                rtol=1e-5, atol=1e-7)
     assert (np.asarray(vis0) == np.asarray(vis1)).all()
+
+
+def test_blur_pallas_interpret_matches_xla():
+    """The fused multi-iteration blur kernel (vertical collapse + barrel
+    taps) must match ops.blur's pass sequence (reassociation only)."""
+    from demiurge_tpu import Grid as G
+    from demiurge_tpu.ops.blur import blur13_pass, sigma_list
+    from demiurge_tpu.ops.noise import NoiseParams, fbm
+    from demiurge_tpu.pallas_kernels.blur import (blur_pallas,
+                                                  blur_resident_supported)
+
+    grid = G(256, 128)
+    h = fbm(grid, NoiseParams(mode="default", octaves=4, scale=2.0,
+                              min=-2.0, max=3.0, seed=7))
+    assert blur_resident_supported(grid, 0.5)
+    want = h
+    for r in sigma_list(0.5):
+        want = blur13_pass(want, grid, (0.0, r))
+        want = blur13_pass(want, grid, (r, 0.0))
+    got = blur_pallas(h, grid, 0.5, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
