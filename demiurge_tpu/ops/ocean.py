@@ -153,7 +153,7 @@ def wind_profile(grid: Grid):
 
 
 def vmax_from_wind(timestep: float = 24.0, dissipation: float = 1.0,
-                   safety: float = 1.5) -> float:
+                   safety: float = 1.4) -> float:
     """Static bound on |v| from the wind forcing's drag equilibrium.
 
     Iterates the per-step scalar update v <- D*v + w*(1 - s^(-2/24)) -
@@ -162,9 +162,11 @@ def vmax_from_wind(timestep: float = 24.0, dissipation: float = 1.0,
     factor for transient/advective overshoot.  The scalar model is itself
     conservative (it assumes the peak wind fully aligned): the measured
     equilibrium max |v| at an evolved 512x256 state is 0.184 while this
-    returns 0.86, and the clamped-pixel diagnostic reads zero there
-    (tests/test_advect_fast.py).  Replaces the untested constant hint
-    flagged by the round-4 review."""
+    returns 0.80 (4.3x margin), and the clamped-pixel diagnostic reads
+    zero there (tests/test_advect_fast.py).  safety = 1.4 keeps the
+    implied y displacement under ONE pixel at 2048x1024, which makes the
+    tiered sampler's Ry = 1 (3 tap rows instead of 5) exact.  Replaces
+    the untested constant hint flagged by the round-4 review."""
     w = 10.0 * math.sqrt(2.0)
     drag = 1.0 - 0.4 ** (1.0 / 24.0)
     v = 0.0
@@ -179,6 +181,15 @@ def resolved_vmax(cfg: OceanConfig) -> float:
     if cfg.vmax_hint is not None:
         return cfg.vmax_hint
     return vmax_from_wind(cfg.timestep, cfg.dissipation)
+
+
+def tap_radius_y(grid: Grid, cfg: OceanConfig) -> int:
+    """y tap radius implied by the velocity bound: the backtrace moves at
+    most arc/(pixel height) rows, so hat taps beyond ceil(that) carry
+    zero weight — Ry = 1 is EXACT at the derived bound (|dy| < 1)."""
+    arc = 2 * REF_PI / grid.circumference * resolved_vmax(cfg) * cfg.timestep
+    dy_pix = arc * grid.height / (grid.phi1 - grid.phi0)
+    return max(1, min(int(math.ceil(dy_pix)), cfg.tap_radius_y))
 
 
 def _advect_sample_fast(u, v, s2, t2, grid: Grid, Rx: int, Ry: int,
@@ -213,15 +224,16 @@ def _advect_sample_fast(u, v, s2, t2, grid: Grid, Rx: int, Ry: int,
 
         vmax = resolved_vmax(cfg) if cfg is not None else 1.0
         ts = cfg.timestep if cfg is not None else 24.0
+        ry = tap_radius_y(grid, cfg) if cfg is not None else Ry
         radii = strip_radii(grid, vmax, ts)
         import numpy as np
 
         rxrow = jnp.asarray(np.repeat(np.asarray(radii, np.float32), 32)
                             ).reshape(-1, 1)
         dx = jnp.clip(s2 * W - 0.5 - c, -rxrow, rxrow)
-        dy = jnp.clip(t2 * H - 0.5 - r, -Ry, Ry)
+        dy = jnp.clip(t2 * H - 0.5 - r, -ry, ry)
         return advect_sample_tiered(u, v, dx, dy, grid, vmax=vmax,
-                                    timestep=ts, Ry=Ry)
+                                    timestep=ts, Ry=ry)
 
     dx = jnp.clip(s2 * W - 0.5 - c, -Rx, Rx)
     dy = jnp.clip(t2 * H - 0.5 - r, -Ry, Ry)
@@ -303,7 +315,8 @@ def advect_clamped_fraction(u, v, terrain, grid: Grid, cfg: OceanConfig):
     strip = H // len(radii)
     rxrow = jnp.asarray(np.repeat(np.asarray(radii, np.float32), strip)
                         ).reshape(-1, 1)
-    clamped = (jnp.abs(dx) > rxrow) | (jnp.abs(dy) > cfg.tap_radius_y)
+    ry = tap_radius_y(grid, cfg)
+    clamped = (jnp.abs(dx) > rxrow) | (jnp.abs(dy) > ry)
     water = terrain <= 0
     return jnp.sum(jnp.where(water & clamped, 1.0, 0.0)) \
         / jnp.maximum(jnp.sum(jnp.where(water, 1.0, 0.0)), 1.0)

@@ -883,9 +883,9 @@ def flow_solve_pallas(code, area2d, mouth, grid: Grid, k: int = 16,
     band = band or _pick_band(H)
     assert band > 0 and H % band == 0 and grid.wrap_x, (grid.shape, band)
     assert k <= band, (k, band)  # change propagates <= 1 band per round
-    # Mosaic sublane alignment: the DMA window is (band + 2k) rows and
-    # both the slice shape and offset must be 8-aligned
-    assert (band + 2 * k) % 8 == 0 and k % 4 == 0, (k, band)
+    # Mosaic sublane alignment: DMA slice shapes AND offsets must be
+    # 8-row-aligned — the interior writeback sits at row offset k
+    assert (band + 2 * k) % 8 == 0 and k % 8 == 0, (k, band)
     nbands = H // band
 
     packed = pack_masks(code, mouth, grid)
