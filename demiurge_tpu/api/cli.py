@@ -204,9 +204,11 @@ def main(argv=None):
             cfg = CoupledConfig()
             for i in range(start, args.steps):
                 state = coupled_step(state, grid, cfg)
+                from ..ops import ocean as ocean_ops
+
                 logger.log(i, mass=M.mass(state.height, grid),
                            mean_T=M.mean_temperature(state.temperature, grid),
-                           advect_clamped=ocean.advect_clamped_fraction(
+                           advect_clamped=ocean_ops.advect_clamped_fraction(
                                state.u, state.v, state.height, grid,
                                cfg.ocean))
                 if args.checkpoint and (i + 1) % args.checkpoint_every == 0:

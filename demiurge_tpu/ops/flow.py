@@ -637,7 +637,23 @@ def flow_filter_device(height, sel, grid: Grid, exponent: float = 0.5,
     carrying across steps.
     """
     hb = blur(height, grid, preblur)
-    code = flow_directions(hb, sel, grid)
+    from ..core.platform import single_core_pallas as _scp
+
+    if mesh is None and _scp():
+        from ..pallas_kernels.directions import (directions_supported,
+                                                 flow_directions_pallas)
+
+        if directions_supported(grid):
+            # fused band-resident direction pass (2 reads + 1 int write of
+            # HBM); aspect-quantization knife-edge ties can resolve
+            # differently than the XLA pass at isolated pixels (separately
+            # compiled trig/fusion rounds 1 ulp apart — both drainage
+            # resolutions valid; pallas_kernels/directions.py)
+            code = flow_directions_pallas(hb, sel, grid)
+        else:
+            code = flow_directions(hb, sel, grid)
+    else:
+        code = flow_directions(hb, sel, grid)
     _, mouth, interesting = incoming_mask(code, grid)
     area = cell_area_lower_edge(grid)
 

@@ -39,12 +39,13 @@ _MAGIC = "demiurge_tpu-ckpt-v1"
 
 def save(path: str, state, step: int, grid=None) -> None:
     """Atomically write `state` (a dataclass pytree of arrays) at `step`."""
+    saved = [f.name for f in dataclasses.fields(state)
+             if getattr(state, f.name) is not None]
     payload = {"__magic__": np.array(_MAGIC),
                "__step__": np.int64(step),
-               "__fields__": np.array(
-                   [f.name for f in dataclasses.fields(state)])}
-    for f in dataclasses.fields(state):
-        payload["f_" + f.name] = np.asarray(getattr(state, f.name))
+               "__fields__": np.array(saved)}
+    for name in saved:   # None leaves (optional fields) default on load
+        payload["f_" + name] = np.asarray(getattr(state, name))
     if grid is not None:
         payload["__coords__"] = np.asarray(grid.coords, np.float64)
         payload["__circumference__"] = np.float64(grid.circumference)
@@ -101,6 +102,8 @@ def save_sharded(dir_path: str, state, step: int, grid=None) -> None:
     meta_fields = []
     for f in dataclasses.fields(state):
         arr = getattr(state, f.name)
+        if arr is None:   # optional field: defaults on load
+            continue
         meta_fields.append(f.name)
         if hasattr(arr, "addressable_shards") and getattr(
                 arr, "ndim", 0) > 0 and hasattr(arr, "sharding"):
@@ -136,6 +139,8 @@ def save_sharded(dir_path: str, state, step: int, grid=None) -> None:
                     "__fields__": np.array(meta_fields)}
         for f in dataclasses.fields(state):
             arr = getattr(state, f.name)
+            if arr is None:
+                continue
             manifest[f"shape_{f.name}"] = np.asarray(
                 getattr(arr, "shape", ()), np.int64)
             manifest[f"dtype_{f.name}"] = np.array(
