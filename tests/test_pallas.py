@@ -306,3 +306,33 @@ def test_blur_pallas_interpret_matches_xla():
     got = blur_pallas(h, grid, 0.5, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_flow_local_vis_pallas_seed_matches_xla():
+    """The band-local Pallas reachability kernel (flow2.flow_local_vis)
+    must match its XLA twin with a NONZERO injection seed — the phase-3
+    configuration the two-level sharded solve would route to on TPU."""
+    from demiurge_tpu.ops import flow
+    from demiurge_tpu.ops.blur import blur
+    from demiurge_tpu.ops.noise import NoiseParams, fbm
+    from demiurge_tpu.pallas_kernels.flow import pack_masks
+    from demiurge_tpu.pallas_kernels.flow2 import (flow_local_vis,
+                                                   flow_local_vis_xla,
+                                                   mask_local)
+
+    grid = Grid(128, 64)
+    h = fbm(grid, NoiseParams(octaves=4, scale=2.0, min=-2.0, max=3.0,
+                              seed=5))
+    sel = jnp.ones(grid.shape, jnp.float32)
+    hb = blur(h, grid, 0.5)
+    code = flow.flow_directions(hb, sel, grid)
+    _, mouth, _ = flow.incoming_mask(code, grid)
+    band = 16
+    ploc = mask_local(pack_masks(code, mouth, grid), band)
+    # scatter a few resolved-reachability seeds onto boundary rows
+    seed = jnp.zeros(grid.shape, jnp.float32)
+    seed = seed.at[band - 1, ::7].set(1.0).at[band, 3::11].set(1.0)
+
+    want = flow_local_vis_xla(ploc, seed, band)
+    got = flow_local_vis(ploc, seed, band, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
