@@ -92,10 +92,15 @@ def main():
     state = run_n(state)           # compile + warm
     float(probe(state))
 
-    # best-of-7: the shared chip's throughput drifts with co-tenancy on
-    # ~minute scales; the best window is the closest to the chip's real rate
+    # best-of-10 spread over ~2 minutes: the shared chip's throughput
+    # drifts with co-tenancy on ~minute scales (measured swings of 2x
+    # between whole runs), so back-to-back windows can all land in one
+    # slow period; spacing the windows out makes the best one a much
+    # better estimate of the chip's uncontended rate
     best = float("inf")
-    for _ in range(7):
+    for i in range(10):
+        if i:
+            time.sleep(12)
         t0 = time.perf_counter()
         state = run_n(state)
         float(probe(state))

@@ -26,8 +26,14 @@ def _mk(fn, args, n):
         c, a = carry
         out = fn(jax.tree_util.tree_map(lambda x: x * (1 + 1e-30 * c), a[0]),
                  *a[1:])
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        return (c + leaf.ravel()[0] * 1e-30, a), None
+        # consume one scalar from EVERY output leaf: anything not fed back
+        # into the carry is dead code XLA deletes from the measured loop
+        # (with only the first leaf, "coupled_step (total)" measured just
+        # the height-producing half — the ocean/climate solves vanished)
+        acc = jnp.float32(0.0)
+        for leaf in jax.tree_util.tree_leaves(out):
+            acc = acc + leaf.ravel()[0].astype(jnp.float32)
+        return (c + acc * 1e-30, a), None
 
     return jax.jit(lambda a: jax.lax.scan(body, (jnp.float32(0.0), a), None,
                                           length=n)[0][0])
